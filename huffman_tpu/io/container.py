@@ -1,0 +1,126 @@
+"""HTC1 — the framework's native container format.
+
+Binary layout (little-endian), modeled on the role of the Yamamoto container
+(`Huffman_coding_Gap_arrays/encoder/src/huff.cpp:186-204`) but block-oriented
+and carrying per-segment symbol counts so decode is one pass:
+
+    magic            4s   b"HTC1"
+    version          u8   1
+    flags            u8   bit0: segments carry counts
+    log2_seg_bits    u8
+    max_len          u8
+    n_sym            u16
+    n_sym x (symbol u8, length u8)      # canonical order (len asc, sym asc)
+    original_size    u64
+    block_bytes      u32
+    n_blocks         u32
+    n_blocks x total_bits u64
+    then per block:
+      seg metadata   u16 x ceil(total_bits/seg_bits): (count << 4) | gap
+      payload        u32 x ceil(total_bits/32)
+
+Metadata overhead is 16 bits per seg_bits=1024 payload bits (1.56%) versus
+the reference's 4 bits per 128 (3.125%) — strictly smaller streams AND a
+counting-pass-free decoder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..constants import GAP_BITS
+from ..core.canonical import CodeTable, canonical_code_table
+from ..models.gap_codec import Compressed
+
+__all__ = ["write_container", "read_container", "container_size"]
+
+MAGIC = b"HTC1"
+_HEADER = struct.Struct("<4sBBBBH")
+_SIZES = struct.Struct("<QII")
+
+
+def _table_entries(table: CodeTable) -> np.ndarray:
+    syms = table.symtab
+    out = np.empty((len(syms), 2), np.uint8)
+    out[:, 0] = syms
+    out[:, 1] = table.lengths[syms]
+    return out
+
+
+def container_size(comp: Compressed) -> int:
+    n_sym = comp.table.num_symbols
+    size = _HEADER.size + 2 * n_sym + _SIZES.size + 8 * comp.n_blocks
+    for tb in comp.block_total_bits:
+        n_segs = -(-tb // comp.seg_bits)
+        n_words = -(-tb // 32)
+        size += 2 * n_segs + 4 * n_words
+    return size
+
+
+def write_container(comp: Compressed) -> bytes:
+    seg_bits = comp.seg_bits
+    log2_seg = seg_bits.bit_length() - 1
+    assert 1 << log2_seg == seg_bits
+    parts = [
+        _HEADER.pack(
+            MAGIC, 1, 1, log2_seg, comp.table.max_len, comp.table.num_symbols
+        ),
+        _table_entries(comp.table).tobytes(),
+        _SIZES.pack(comp.original_size, comp.block_bytes, comp.n_blocks),
+        np.asarray(comp.block_total_bits, np.uint64).tobytes(),
+    ]
+    for words, gaps, counts in zip(
+        comp.block_words, comp.block_gaps, comp.block_counts
+    ):
+        meta = (counts.astype(np.uint16) << GAP_BITS) | gaps.astype(np.uint16)
+        parts.append(meta.tobytes())
+        parts.append(words.astype(np.uint32).tobytes())
+    return b"".join(parts)
+
+
+def read_container(buf: bytes) -> Compressed:
+    mv = memoryview(buf)
+    if len(buf) < _HEADER.size or bytes(mv[:4]) != MAGIC:
+        raise ValueError("not an HTC1 container (bad magic)")
+    magic, version, flags, log2_seg, max_len, n_sym = _HEADER.unpack_from(mv, 0)
+    if version != 1:
+        raise ValueError(f"unsupported container version {version}")
+    off = _HEADER.size
+    entries = np.frombuffer(mv, np.uint8, 2 * n_sym, off).reshape(n_sym, 2)
+    off += 2 * n_sym
+    lengths = np.zeros(256, np.uint8)
+    lengths[entries[:, 0]] = entries[:, 1]
+    table = canonical_code_table(lengths, max_len)
+
+    original_size, block_bytes, n_blocks = _SIZES.unpack_from(mv, off)
+    off += _SIZES.size
+    total_bits = np.frombuffer(mv, np.uint64, n_blocks, off).astype(np.int64)
+    off += 8 * n_blocks
+
+    seg_bits = 1 << log2_seg
+    comp = Compressed(
+        table=table,
+        seg_bits=seg_bits,
+        original_size=int(original_size),
+        block_bytes=int(block_bytes),
+        block_words=[],
+        block_total_bits=[int(t) for t in total_bits],
+        block_gaps=[],
+        block_counts=[],
+    )
+    for tb in comp.block_total_bits:
+        n_segs = -(-tb // seg_bits)
+        n_words = -(-tb // 32)
+        if off + 2 * n_segs + 4 * n_words > len(buf):
+            raise ValueError("truncated HTC1 container")
+        meta = np.frombuffer(mv, np.uint16, n_segs, off)
+        off += 2 * n_segs
+        comp.block_gaps.append((meta & ((1 << GAP_BITS) - 1)).astype(np.uint8))
+        comp.block_counts.append((meta >> GAP_BITS).astype(np.int32))
+        comp.block_words.append(np.frombuffer(mv, np.uint32, n_words, off).copy())
+        off += 4 * n_words
+    if off != len(buf):
+        raise ValueError(f"container has {len(buf) - off} trailing bytes")
+    return comp

@@ -1,0 +1,61 @@
+"""End-to-end codec + container tests."""
+
+import numpy as np
+import pytest
+
+from huffman_tpu.models import GapArrayCodec
+from huffman_tpu.io import write_container, read_container, container_size
+from huffman_tpu.utils import generate_redundant, generate_binomial
+
+
+@pytest.mark.parametrize("redundancy", [0.1, 0.5, 0.9])
+def test_codec_roundtrip(redundancy):
+    data = generate_redundant(300_000, redundancy, seed=1)
+    codec = GapArrayCodec.fit(data, block_bytes=1 << 16)
+    assert codec.roundtrip_check(data)
+
+
+def test_codec_ragged_tail_and_multi_block():
+    data = generate_redundant(200_001, 0.5, seed=2)  # ragged tail block
+    codec = GapArrayCodec.fit(data, block_bytes=1 << 16)
+    comp = codec.encode(data)
+    assert comp.n_blocks == 4
+    out = codec.decode(comp)
+    np.testing.assert_array_equal(out, data)
+
+
+def test_codec_empty_and_tiny():
+    codec = GapArrayCodec.fit(np.array([7], np.uint8))
+    comp = codec.encode(np.zeros(0, np.uint8))
+    assert codec.decode(comp).size == 0
+    data = np.array([7, 7, 7], np.uint8)
+    codec = GapArrayCodec.fit(data)
+    np.testing.assert_array_equal(codec.decode(codec.encode(data)), data)
+
+
+def test_container_roundtrip():
+    data = generate_binomial(150_000, seed=3)
+    codec = GapArrayCodec.fit(data, block_bytes=1 << 16)
+    comp = codec.encode(data)
+    blob = write_container(comp)
+    assert len(blob) == container_size(comp)
+    comp2 = read_container(blob)
+    assert comp2.original_size == comp.original_size
+    assert comp2.seg_bits == comp.seg_bits
+    np.testing.assert_array_equal(comp2.table.lengths, comp.table.lengths)
+    for a, b in zip(comp.block_words, comp2.block_words):
+        np.testing.assert_array_equal(a, b)
+    out = codec.decode(comp2)
+    np.testing.assert_array_equal(out, data)
+
+
+def test_compression_beats_raw_and_overhead_is_small():
+    data = generate_redundant(1_000_000, 0.9, seed=4)
+    codec = GapArrayCodec.fit(data, block_bytes=1 << 18)
+    comp = codec.encode(data)
+    blob = write_container(comp)
+    payload_bits = sum(comp.block_total_bits)
+    overhead = len(blob) - payload_bits / 8
+    # metadata overhead below the reference's 3.125% gap-array overhead
+    assert overhead / (payload_bits / 8) < 0.0313
+    assert len(blob) < data.size
