@@ -1,0 +1,18 @@
+from .mesh import data_mesh, DATA_AXIS, Mesh, P
+from .codec import (
+    sharded_histogram,
+    make_sharded_encode,
+    make_sharded_decode,
+    make_sharded_roundtrip,
+)
+
+__all__ = [
+    "data_mesh",
+    "DATA_AXIS",
+    "Mesh",
+    "P",
+    "sharded_histogram",
+    "make_sharded_encode",
+    "make_sharded_decode",
+    "make_sharded_roundtrip",
+]
