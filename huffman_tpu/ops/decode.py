@@ -98,12 +98,17 @@ def decode_block(
         step, (pos0, counts.astype(jnp.int32)), None, length=max_count
     )
     # cols: (max_count, S). Compact to original order: symbol k of the stream
-    # is step (k - out_offs[seg]) of segment seg.
+    # is step (k - out_offs[seg]) of segment seg.  Segment ids come from a
+    # scatter+cumsum expand (searchsorted over the full output wedges the TPU
+    # runtime at 10^8 queries).
     out_offs = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )
+    marks = jnp.zeros(out_size, jnp.int32).at[out_offs[:-1]].add(
+        1, mode="drop", indices_are_sorted=True
+    )
+    seg_id = jnp.cumsum(marks, dtype=jnp.int32) - 1
     k = jnp.arange(out_size, dtype=jnp.int32)
-    seg_id = jnp.searchsorted(out_offs, k, side="right").astype(jnp.int32) - 1
     t = k - out_offs[seg_id]
     return cols[t, seg_id]
 

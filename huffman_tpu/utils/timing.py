@@ -14,9 +14,30 @@ from typing import Callable
 
 import jax
 
-__all__ = ["BenchResult", "bench_fn", "GB"]
+__all__ = ["BenchResult", "bench_fn", "force_result", "GB"]
 
 GB = 1e9
+
+
+def force_result(out):
+    """Truly synchronize on a JAX result.
+
+    ``jax.block_until_ready`` does not reliably block on tunneled/remote TPU
+    platforms; fetching one element of every leaf does (it must wait for the
+    buffer), while copying only a few bytes host-side.
+    """
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "shape"):
+            if leaf.ndim == 0:
+                np.asarray(leaf)
+            else:
+                np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+    return out
+
+
+_force = force_result
 
 
 @dataclasses.dataclass
@@ -61,7 +82,7 @@ def bench_fn(
     def run_once():
         t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(out)
+        _force(out)
         return time.perf_counter() - t0
 
     for _ in range(warmup):
