@@ -1,22 +1,27 @@
-"""Headline benchmark: decode GB/s on one chip (plus encode, on stderr).
+"""Headline benchmark: ILS decode GB/s on one chip (encode on stderr).
 
 Prints ONE JSON line on stdout:
     {"metric": "decode_gbps_1chip", "value": N, "unit": "GB/s", "vs_baseline": N}
 
 vs_baseline is relative to the reference repo's own oracle codec
-(`sequential.cpp`) measured on this host (it is the only reproducible number
-the reference provides — it publishes no benchmark results, see BASELINE.md):
+(`sequential.cpp`) measured on this host (the only reproducible number the
+reference provides — it publishes no benchmark results, see BASELINE.md):
 decode 4.93 MB/s = 0.00517 GB/s on 100 MB of generate.cpp r=0.5 data.
 
-Throughput convention matches the reference: uncompressed bytes / second
-(`gpuhd/src/demo.cc:240-242` and `decoder/src/decoder.cu` print MB/s of the
-original size).
+Timing methodology: this host reaches the TPU through a tunnel with a
+~29 ms per-dispatch round-trip floor, so single-dispatch wall timing
+saturates at the floor, not the kernel.  Sustained throughput is measured
+by chaining R kernel invocations inside one jit (a loop-carried buffer
+perturbation defeats loop-invariant hoisting) and differencing two R values
+— the same average-of-many-repetitions discipline as the reference's
+decoder harness (`Huffman_coding_Gap_arrays/decoder/src/decoder.cu:760-803`,
+200 reps).  Throughput convention matches the reference: uncompressed
+bytes / second.
 """
 
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import sys
 import time
@@ -32,107 +37,119 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def measure_chained(make_fn, r1, r2):
+    """Median-of-3 amortized seconds per op: run make_fn(R)() for two Rs."""
+    ts = {}
+    for R in (r1, r2):
+        f = make_fn(R)
+        np.asarray(f())  # compile + hard sync
+        best = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f())
+            best.append(time.perf_counter() - t0)
+        ts[R] = min(best)
+    return max((ts[r2] - ts[r1]) / (r2 - r1), 1e-9)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=1 << 28)  # 256 MiB
     ap.add_argument("--redundancy", type=float, default=0.5)
-    ap.add_argument("--block-bytes", type=int, default=1 << 24)
-    ap.add_argument("--seg-bits", type=int, default=None)
-    ap.add_argument("--method", default="lut")
-    ap.add_argument("--repeat", type=int, default=5)
-    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--k", type=int, default=None)
+    ap.add_argument("--reps", type=int, default=8)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from huffman_tpu.constants import SEG_BITS
-    from huffman_tpu.core import canonical_code_table, package_merge_lengths, npref
-    from huffman_tpu.ops import (
-        dec_spec,
-        device_dec_table,
-        device_enc_table,
+    from huffman_tpu.core.ils_ref import ILS_LANES
+    from huffman_tpu.models import IlsCodec
+    from huffman_tpu.ops.ils import _as_tiles_i32
+    from huffman_tpu.ops.pallas.ils_kernels import (
+        ils_decode,
+        ils_lengths_pass,
+        ils_pack,
     )
-    from huffman_tpu.ops.decode import decode_block
-    from huffman_tpu.ops.encode import encode_block
     from huffman_tpu.utils import generate_redundant
 
-    seg_bits = args.seg_bits or SEG_BITS
     log(f"devices: {jax.devices()}")
-    size = args.size - args.size % args.block_bytes
-    n_blocks = size // args.block_bytes
-    log(f"generating {size} bytes (r={args.redundancy}), "
-        f"{n_blocks} x {args.block_bytes}B blocks, seg_bits={seg_bits}")
+    codec0 = IlsCodec.fit(
+        generate_redundant(1 << 20, args.redundancy, seed=0), k=args.k
+    )
+    k = codec0.k
+    tile_bytes = k * ILS_LANES
+    size = max(args.size // tile_bytes, 1) * tile_bytes
+    log(f"generating {size} bytes (r={args.redundancy}), k={k}, "
+        f"{size // tile_bytes} tiles")
     data = generate_redundant(size, args.redundancy, seed=0)
 
     t0 = time.perf_counter()
-    table = canonical_code_table(package_merge_lengths(npref.histogram(data), 16), 16)
+    codec = IlsCodec.fit(data, k=k)
     log(f"host table construction: {time.perf_counter() - t0:.3f}s")
-    enc = device_enc_table(table)
-    dec = device_dec_table(table)
-    spec = dec_spec(table)
 
-    blocks = jnp.asarray(data.reshape(n_blocks, args.block_bytes))
-    bits = table.lengths.astype(np.int64)[data.reshape(n_blocks, -1)].sum(axis=1)
-    max_words = (int(bits.max()) // 32 + 512) // 512 * 512
-    n_segs = -(-max_words * 32 // seg_bits)
+    t0 = time.perf_counter()
+    comp = codec.encode(data)
+    log(f"encode wall (incl. compiles + host sync): {time.perf_counter() - t0:.1f}s")
+    sec = comp.sections[0]
+    p = sec.params
+    ratio = comp.compressed_bytes / size
+    log(f"w_band={p.w_band} w_cap={p.w_cap} compressed ratio={ratio * 100:.2f}%")
 
-    enc_fn = jax.jit(
-        jax.vmap(
-            functools.partial(
-                encode_block,
-                enc=enc,
-                seg_bits=seg_bits,
-                max_words=max_words,
-                n_segs=n_segs,
-            )
-        )
-    )
-    words, total_bits, gaps, counts = jax.block_until_ready(enc_fn(blocks))
-    max_count = (int(jnp.max(counts)) + 15) // 16 * 16
-
-    dec_fn = jax.jit(
-        jax.vmap(
-            functools.partial(
-                decode_block,
-                dec=dec,
-                spec=spec,
-                seg_bits=seg_bits,
-                max_count=max_count,
-                out_size=args.block_bytes,
-                method=args.method,
-            )
-        )
-    )
-    out = jax.block_until_ready(dec_fn(words, gaps, counts))
-    ok = bool(np.array_equal(np.asarray(out).reshape(-1), data))
+    out = codec.decode(comp)
+    ok = bool(np.array_equal(out, data))
     log(f"verification: {'PASS' if ok else 'FAIL'}")
     if not ok:
         print(json.dumps({"metric": "decode_gbps_1chip", "value": 0.0,
                           "unit": "GB/s", "vs_baseline": 0.0}))
         sys.exit(1)
 
-    def timeit(fn, *xs):
-        for _ in range(args.warmup):
-            jax.block_until_ready(fn(*xs))
-        ts = []
-        for _ in range(args.repeat):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(*xs))
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        return ts[len(ts) // 2]
+    rows = sec.payload.view(np.int32).reshape(-1, 8, 128)
+    slack = np.zeros((p.w_cap, 8, 128), np.int32)
+    payload_rows = jnp.asarray(np.concatenate([rows, slack], axis=0))
+    row_starts = jnp.asarray(p.row_starts[:-1].astype(np.int32))
+    params = jnp.asarray(np.array([p.snum, p.boff], np.int32))
+    maxlen = max(codec.table.max_len_present, 1)
+    dec, enc = codec.dec, codec.enc
 
-    t_dec = timeit(dec_fn, words, gaps, counts)
-    t_enc = timeit(enc_fn, blocks)
-    dec_gbps = size / t_dec / 1e9
-    enc_gbps = size / t_enc / 1e9
-    comp_bits = int(np.asarray(total_bits, np.int64).sum())
-    meta_bits = 16 * int(sum(-(-int(b) // seg_bits) for b in np.asarray(total_bits)))
-    ratio = (comp_bits + meta_bits) / 8 / size
-    log(f"decode: {dec_gbps:.3f} GB/s ({t_dec*1e3:.1f} ms)")
-    log(f"encode: {enc_gbps:.3f} GB/s ({t_enc*1e3:.1f} ms)")
-    log(f"compression ratio (payload+seg metadata): {ratio*100:.2f}%")
+    def mk_decode(R):
+        @jax.jit
+        def f():
+            def body(i, carry):
+                acc, pr = carry
+                pr = pr.at[0, 0, 0].set(pr[0, 0, 0] ^ 1)
+                o = ils_decode(pr, row_starts, params, dec, k=p.k, w_cap=p.w_cap,
+                               w_band=p.w_band, max_len=maxlen, n_tiles=p.n_tiles)
+                return acc ^ o[0, 0, :8], pr
+            acc, _ = jax.lax.fori_loop(
+                0, R, body, (jnp.zeros(8, jnp.int32), payload_rows))
+            return acc
+        return f
+
+    data_i32 = jnp.asarray(_as_tiles_i32(data, p.k))
+
+    def mk_encode(R):
+        @jax.jit
+        def f():
+            def body(i, carry):
+                acc, d = carry
+                d = d.at[0, 0, 0].set(d[0, 0, 0] ^ 1)
+                bits, dmn, dmx = ils_lengths_pass(d, params, enc, k=p.k)
+                payload = ils_pack(d, params, enc, k=p.k, w_cap=p.w_cap,
+                                   w_band=p.w_band)
+                return acc ^ payload[0, 0, :8] ^ bits[0, 0, :8], d
+            acc, _ = jax.lax.fori_loop(
+                0, R, body, (jnp.zeros(8, jnp.int32), data_i32))
+            return acc
+        return f
+
+    main_bytes = p.n_tiles * p.k * ILS_LANES
+    t_dec = measure_chained(mk_decode, max(args.reps // 4, 1), args.reps)
+    dec_gbps = main_bytes / t_dec / 1e9
+    log(f"decode: {dec_gbps:.3f} GB/s ({t_dec * 1e3:.2f} ms / {main_bytes} B)")
+    t_enc = measure_chained(mk_encode, max(args.reps // 4, 1), args.reps)
+    enc_gbps = main_bytes / t_enc / 1e9
+    log(f"encode (certify+pack kernels): {enc_gbps:.3f} GB/s ({t_enc * 1e3:.2f} ms)")
     log(f"vs sequential.cpp decode baseline ({BASELINE_DECODE_GBPS:.5f} GB/s): "
         f"{dec_gbps / BASELINE_DECODE_GBPS:.0f}x")
 
@@ -146,7 +163,10 @@ def main():
             "compression_ratio": round(ratio, 5),
             "size_bytes": size,
             "redundancy": args.redundancy,
+            "k": p.k,
+            "w_band": p.w_band,
             "verified": ok,
+            "codec": "ils",
             "baseline": "sequential.cpp decode measured on this host (BASELINE.md)",
         },
     }))

@@ -25,9 +25,37 @@ def _add_codec_args(p):
     p.add_argument("--seg-bits", type=int, default=None)
     p.add_argument("--block-bytes", type=int, default=None)
     p.add_argument(
-        "--method", choices=["lut", "canonical"], default="lut",
-        help="decode inner-step implementation",
+        "--format", choices=["ils", "htc1"], default="ils",
+        help="container/codec: ils (interleaved-stream, flagship) or htc1 (gap-array)",
     )
+    p.add_argument(
+        "--k", type=int, default=None,
+        help="ILS symbols per stream (default: auto from mean code length)",
+    )
+    p.add_argument(
+        "--method", choices=["lut", "canonical"], default="lut",
+        help="htc1 decode inner-step implementation",
+    )
+
+
+def _make_codec(args, data):
+    if args.format == "ils":
+        from .models import IlsCodec
+
+        return IlsCodec.fit(data, max_len=args.max_len, k=args.k)
+    from .models import GapArrayCodec
+
+    return GapArrayCodec.fit(data, **_codec_kwargs(args))
+
+
+def _write_blob(args, comp):
+    if args.format == "ils":
+        from .io import write_ils_container
+
+        return write_ils_container(comp)
+    from .io import write_container
+
+    return write_container(comp)
 
 
 def _codec_kwargs(args):
@@ -51,14 +79,11 @@ def cmd_generate(args):
 
 
 def cmd_encode(args):
-    from .models import GapArrayCodec
-    from .io import write_container
-
     data = np.fromfile(args.input, np.uint8)
     t0 = time.perf_counter()
-    codec = GapArrayCodec.fit(data, **_codec_kwargs(args))
+    codec = _make_codec(args, data)
     comp = codec.encode(data)
-    blob = write_container(comp)
+    blob = _write_blob(args, comp)
     dt = time.perf_counter() - t0
     with open(args.output, "wb") as f:
         f.write(blob)
@@ -69,19 +94,27 @@ def cmd_encode(args):
 
 
 def cmd_decode(args):
-    from .models import GapArrayCodec
-    from .io import read_container
+    from .io import container_kind, read_container, read_ils_container
 
     blob = open(args.input, "rb").read()
     try:
-        comp = read_container(blob)
+        kind = container_kind(blob)
+        if kind == "ils1":
+            from .models import IlsCodec
+
+            comp = read_ils_container(blob)
+            codec = IlsCodec(comp.table)
+        else:
+            from .models import GapArrayCodec
+
+            comp = read_container(blob)
+            codec = GapArrayCodec(
+                comp.table, seg_bits=comp.seg_bits, block_bytes=comp.block_bytes,
+                method=args.method,
+            )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         sys.exit(1)
-    codec = GapArrayCodec(
-        comp.table, seg_bits=comp.seg_bits, block_bytes=comp.block_bytes,
-        method=args.method,
-    )
     t0 = time.perf_counter()
     out = codec.decode(comp)
     dt = time.perf_counter() - t0
@@ -91,17 +124,20 @@ def cmd_decode(args):
 
 
 def cmd_roundtrip(args):
-    from .models import GapArrayCodec
-    from .io import write_container, read_container
+    from .io import read_container, read_ils_container
 
     data = np.fromfile(args.input, np.uint8)
-    codec = GapArrayCodec.fit(data, **_codec_kwargs(args))
-    comp = read_container(write_container(codec.encode(data)))
+    codec = _make_codec(args, data)
+    blob = _write_blob(args, codec.encode(data))
+    if args.format == "ils":
+        comp = read_ils_container(blob)
+    else:
+        comp = read_container(blob)
     out = codec.decode(comp)
     ok = np.array_equal(out, data)
     print(f"Original size:   {data.size} bytes")
-    print(f"Compressed size: {comp.compressed_bytes} bytes "
-          f"({100.0 * comp.compressed_bytes / max(data.size, 1):.2f}%)")
+    print(f"Compressed size: {len(blob)} bytes "
+          f"({100.0 * len(blob) / max(data.size, 1):.2f}%)")
     print(f"Verification:    {'PASS' if ok else 'FAIL'}")
     if not ok:
         bad = np.nonzero(out != data)[0]
@@ -113,10 +149,9 @@ def cmd_roundtrip(args):
 def cmd_bench(args):
     from .utils import generate_redundant
     from .utils.timing import bench_fn
-    from .models import GapArrayCodec
 
     data = generate_redundant(args.size, args.redundancy, seed=args.seed)
-    codec = GapArrayCodec.fit(data, **_codec_kwargs(args))
+    codec = _make_codec(args, data)
     comp = codec.encode(data)
     enc = bench_fn("encode", lambda: codec.encode(data), data.size,
                    warmup=args.warmup, repeat=args.repeat)

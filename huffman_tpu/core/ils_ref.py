@@ -1,0 +1,304 @@
+"""Interleaved-stream (ILS) layout — NumPy oracle and layout specification.
+
+ILS is this framework's flagship TPU-native container layout.  It plays the
+role the gap array plays in the reference (encoder-side metadata that makes
+data-parallel decode possible, `Huffman_coding_Gap_arrays/encoder/src/
+encoder.cu:307-312` + `decoder/src/decoder.cu:454-730`) but is co-designed
+for a lock-step SIMD decoder so that *every* address the decoder touches is
+either static or confined to a narrow, encoder-verified window:
+
+- A **tile** holds ``LANES = 1024`` independent *streams* and covers
+  ``1024 * k`` consecutive bytes of input (``k`` = symbols per stream,
+  multiple of 4).  Stream ``s`` owns the input u32 words ``{w : w % 1024 ==
+  s}`` of the tile, i.e. bytes ``4w..4w+3`` in little-endian order.  Four
+  decoded symbols therefore reassemble exactly one original u32, so decoded
+  tile output is the original data by *reshape alone* — no gather, no
+  compaction (the move that replaces the reference's atomicOr scatters,
+  `decoder.cu:704,727`).
+- Each stream's codewords are packed MSB-first into u32 words; all streams
+  of a tile are zero-padded to the tile's max word count ``W_t`` and stored
+  **word-interleaved**: payload row ``r`` of a tile is a 1024-wide vector of
+  word ``r`` of every stream.  A lane's k-th word sits at a *static* row —
+  the layout the decode kernel wants is the stored layout.
+- Per-stream word consumption follows a random walk around the mean code
+  length, so at decode step ``i`` every lane's word pointer lies in a narrow
+  band around ``mu_i = (i * snum) >> 16``.  The encoder simulates the
+  decoder's refill schedule (`refill cadence` below), records the exact
+  deviation range, and stores ``(snum, boff, w_band)`` in the container; the
+  decoder then fetches refill words from the static-width window
+  ``[clamp(mu_i + boff, 0, w_cap - w_band), +w_band)`` with a one-hot
+  select.  This is the gap array generalized: instead of storing one start
+  offset per segment, the encoder certifies a whole *schedule*.
+
+Refill cadence (the contract between encoder, decoder and this oracle), per
+body iteration ``i in [0, k/4)``:
+
+    decode/insert symbols 4i, 4i+1
+    event(i)
+    decode/insert symbols 4i+2, 4i+3
+    event(i)
+
+Decoder event: ``if valid <= 32: load row wptr; wptr += 1; valid += 32``
+(64-bit window invariant: ``valid >= 33`` before every symbol pair).
+Encoder event: ``if used >= 32: emit word w_enc; w_enc += 1; used -= 32``
+(accumulator invariant: ``used <= 31`` before every symbol pair), plus one
+final flush of the partial word.  Deviations ``wptr - mu_i`` and
+``w_enc - mu_i`` at event points define ``boff``/``w_band``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .canonical import CodeTable, build_flat_lut
+
+__all__ = [
+    "ILS_LANES",
+    "IlsParams",
+    "ils_schedule_numer",
+    "ils_stream_symbols",
+    "ils_simulate_schedule",
+    "ils_encode_np",
+    "ils_decode_np",
+]
+
+ILS_LANES = 1024  # streams per tile: one (8, 128) vreg of lanes
+
+
+@dataclasses.dataclass(frozen=True)
+class IlsParams:
+    """Per-call schedule/layout parameters stored in the container."""
+
+    k: int  # symbols per stream (multiple of 4)
+    snum: int  # expected rows per body iteration, 16.16 fixed point
+    boff: int  # band offset: min event deviation from mu_i
+    w_band: int  # refill window rows (static in the kernel)
+    w_cap: int  # row capacity per tile (>= max W_t, static in the kernel)
+    w_tiles: np.ndarray  # (n_tiles,) int32 actual rows per tile
+    n_tiles: int
+
+    @property
+    def row_starts(self) -> np.ndarray:
+        return np.concatenate([[0], np.cumsum(self.w_tiles)]).astype(np.int32)
+
+    @property
+    def total_rows(self) -> int:
+        return int(self.w_tiles.sum())
+
+
+def ils_schedule_numer(avg_bits_per_symbol: float) -> int:
+    """16.16 fixed-point expected payload rows consumed per body iteration
+    (4 symbols, 32-bit rows)."""
+    return max(int(round(avg_bits_per_symbol * 4.0 / 32.0 * 65536.0)), 1)
+
+
+def ils_stream_symbols(data: np.ndarray, k: int) -> np.ndarray:
+    """(n_tiles, k, LANES) uint8 symbol tensor from flat bytes.
+
+    ``data.size`` must be a multiple of ``4 * ILS_LANES`` and ``k`` must be
+    ``data.size // (ILS_LANES * n_tiles) `` with n_tiles integral; symbol
+    ``4r+j`` of stream ``s`` in tile ``t`` is byte ``j`` (little-endian) of
+    u32 word ``t*(k//4)*1024 + r*1024 + s``.
+    """
+    data = np.asarray(data, np.uint8)
+    if k % 4 or k <= 0:
+        raise ValueError("k must be a positive multiple of 4")
+    if data.size % (k * ILS_LANES):
+        raise ValueError("data size must be a multiple of k * 1024")
+    n_tiles = data.size // (k * ILS_LANES)
+    u32 = data.reshape(n_tiles, k // 4, ILS_LANES, 4)
+    # (t, r, s, j) -> (t, 4r+j, s)
+    return u32.transpose(0, 1, 3, 2).reshape(n_tiles, k, ILS_LANES)
+
+
+def _mu(i: np.ndarray | int, snum: int) -> np.ndarray | int:
+    return (i * snum) >> 16
+
+
+def ils_simulate_schedule(lens: np.ndarray, snum: int):
+    """Simulate decoder refills and encoder emissions for every stream.
+
+    Args:
+      lens: (n_tiles, k, LANES) int codeword lengths (>= 1).
+      snum: schedule numerator (16.16 fixed point).
+
+    Returns (bits_total (n_tiles, LANES) int64,
+             dev_min int, dev_max int) where dev is the deviation of every
+    refill-read row and emission-write row (flush included) from mu_i.
+    """
+    n_tiles, k, lanes = lens.shape
+    assert k % 4 == 0
+    lens = lens.astype(np.int64)
+    valid = np.full((n_tiles, lanes), 64, np.int64)
+    wptr = np.full((n_tiles, lanes), 2, np.int64)
+    used = np.zeros((n_tiles, lanes), np.int64)
+    w_enc = np.zeros((n_tiles, lanes), np.int64)
+    dev_min, dev_max = np.int64(1 << 40), np.int64(-(1 << 40))
+
+    for i in range(k // 4):
+        mu = _mu(i, snum)
+        for half in range(2):
+            s0 = 4 * i + 2 * half
+            valid = valid - lens[:, s0] - lens[:, s0 + 1]
+            used = used + lens[:, s0] + lens[:, s0 + 1]
+            refill = valid <= 32
+            if refill.any():
+                d = wptr[refill] - mu
+                dev_min = min(dev_min, d.min())
+                dev_max = max(dev_max, d.max())
+            wptr = wptr + refill
+            valid = valid + 32 * refill
+            emit = used >= 32
+            if emit.any():
+                d = w_enc[emit] - mu
+                dev_min = min(dev_min, d.min())
+                dev_max = max(dev_max, d.max())
+            w_enc = w_enc + emit
+            used = used - 32 * emit
+    # final flush of partial words, scheduled at the last iteration's mu
+    mu = _mu(k // 4 - 1, snum)
+    flush = used > 0
+    if flush.any():
+        d = w_enc[flush] - mu
+        dev_min = min(dev_min, d.min())
+        dev_max = max(dev_max, d.max())
+    bits = 32 * w_enc + used
+    return bits.astype(np.int64), int(dev_min), int(dev_max)
+
+
+def _round_band(span: int) -> int:
+    for b in (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512):
+        if span <= b:
+            return b
+    return span
+
+
+def _round_cap(rows: int) -> int:
+    for b in (8, 16, 32, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048):
+        if rows <= b:
+            return b
+    return -(-rows // 256) * 256
+
+
+def ils_encode_np(data: np.ndarray, table: CodeTable, k: int):
+    """Oracle ILS encoder.
+
+    Returns (payload (total_rows, LANES) uint32, params: IlsParams).
+    """
+    syms = ils_stream_symbols(data, k)  # (T, k, L)
+    n_tiles = syms.shape[0]
+    lens = table.lengths[syms].astype(np.int64)
+    if np.any(lens == 0):
+        raise ValueError("input contains a symbol absent from the code table")
+    codes = table.codes[syms].astype(np.uint64)
+
+    avg = float(lens.mean())
+    snum = ils_schedule_numer(avg)
+    bits, dev_min, dev_max = ils_simulate_schedule(lens, snum)
+
+    w_tiles = np.maximum(-(-bits.max(axis=1) // 32), 2).astype(np.int64)
+    w_cap = _round_cap(int(w_tiles.max()))
+    w_band = min(_round_band(dev_max - dev_min + 2), w_cap)
+    boff = dev_min
+    params = IlsParams(
+        k=k,
+        snum=snum,
+        boff=int(boff),
+        w_band=int(w_band),
+        w_cap=int(w_cap),
+        w_tiles=w_tiles.astype(np.int32),
+        n_tiles=n_tiles,
+    )
+
+    row_starts = params.row_starts
+    payload = np.zeros((params.total_rows, ILS_LANES), np.uint32)
+    # per-stream bit offsets, then scatter each codeword into 1-2 words
+    ends = np.cumsum(lens, axis=1)
+    offs = ends - lens  # (T, k, L) start bit within the stream
+    left = (codes << (64 - lens).astype(np.uint64)).astype(np.uint64)
+    sh = (offs % 32).astype(np.uint64)
+    both = left >> sh
+    hi = (both >> np.uint64(32)).astype(np.uint32)
+    lo = (both & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    w0 = (offs // 32).astype(np.int64)  # stream-local word index
+    t_idx, _, l_idx = np.meshgrid(
+        np.arange(n_tiles), np.arange(k), np.arange(ILS_LANES), indexing="ij"
+    )
+    rows0 = row_starts[t_idx] + w0
+    # all target words are within this tile's rows; the spill word of the
+    # last codeword may land on row W_t (zero bits only) — drop those.
+    np.add.at(payload, (rows0.ravel(), l_idx.ravel()), hi.ravel())
+    rows1 = rows0 + 1
+    in_range = rows1 < row_starts[t_idx] + params.w_tiles[t_idx]
+    np.add.at(
+        payload,
+        (rows1[in_range].ravel(), l_idx[in_range].ravel()),
+        lo[in_range].ravel(),
+    )
+    return payload, params
+
+
+def ils_decode_np(
+    payload: np.ndarray, params: IlsParams, table: CodeTable
+) -> np.ndarray:
+    """Oracle ILS decoder — simulates the kernel (banded refills included).
+
+    Returns flat uint8 of n_tiles * k * LANES bytes.  Raises if any refill
+    that matters falls outside the certified band (container invariant).
+    """
+    b = table.max_len_present
+    lut_sym, lut_len = build_flat_lut(table, b)
+    row_starts = params.row_starts
+    k, lanes = params.k, ILS_LANES
+    out = np.zeros((params.n_tiles, k, lanes), np.uint8)
+
+    for t in range(params.n_tiles):
+        rows = np.zeros((params.w_cap, lanes), np.uint64)
+        avail = min(params.w_cap, payload.shape[0] - row_starts[t])
+        rows[:avail] = payload[row_starts[t] : row_starts[t] + avail]
+        hi = rows[0].copy()
+        lo = rows[1].copy()
+        valid = np.full(lanes, 64, np.int64)
+        wptr = np.full(lanes, 2, np.int64)
+        for i in range(k // 4):
+            base = min(max(_mu(i, params.snum) + params.boff, 0),
+                       params.w_cap - params.w_band)
+            for half in range(2):
+                for j in range(2):
+                    s = 4 * i + 2 * half + j
+                    idx = (hi >> np.uint64(32 - b)).astype(np.int64)
+                    out[t, s] = lut_sym[idx]
+                    ln = lut_len[idx].astype(np.uint64)
+                    hi = ((hi << ln) | (lo >> (np.uint64(32) - ln))) & np.uint64(
+                        0xFFFFFFFF
+                    )
+                    lo = (lo << ln) & np.uint64(0xFFFFFFFF)
+                    valid = valid - ln.astype(np.int64)
+                # banded refill
+                need = valid <= 32
+                rel = wptr - base
+                in_band = (rel >= 0) & (rel < params.w_band)
+                sel = np.where(in_band, np.clip(rel, 0, params.w_band - 1), 0)
+                word = rows[base + sel, np.arange(lanes)]
+                word = np.where(in_band, word, 0)
+                # The certified schedule puts every refill in band except
+                # trailing loads past the tile's row capacity, whose bits are
+                # never consumed (see module docstring / design proof).
+                if np.any(need & ~in_band & (wptr < params.w_cap)):
+                    raise ValueError("refill outside certified band")
+                word = np.where(need, word, 0)
+                vsh = valid.astype(np.uint64)
+                hi = hi | np.where(valid < 32, word >> vsh, 0)
+                lo = lo | np.where(
+                    valid < 32,
+                    (word << (np.uint64(32) - vsh)) & np.uint64(0xFFFFFFFF),
+                    np.where(valid == 32, word, 0),
+                )
+                wptr = wptr + need
+                valid = valid + 32 * need
+    # (t, 4r+j, s) -> bytes of u32 words
+    n_tiles = params.n_tiles
+    u32view = out.reshape(n_tiles, k // 4, 4, lanes).transpose(0, 1, 3, 2)
+    return np.ascontiguousarray(u32view).reshape(-1)

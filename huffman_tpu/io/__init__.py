@@ -1,3 +1,19 @@
-from .container import write_container, read_container, container_size
+from .container import (
+    container_kind,
+    container_size,
+    ils_container_size,
+    read_container,
+    read_ils_container,
+    write_container,
+    write_ils_container,
+)
 
-__all__ = ["write_container", "read_container", "container_size"]
+__all__ = [
+    "container_kind",
+    "container_size",
+    "ils_container_size",
+    "read_container",
+    "read_ils_container",
+    "write_container",
+    "write_ils_container",
+]

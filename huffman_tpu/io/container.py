@@ -34,11 +34,32 @@ from ..constants import GAP_BITS
 from ..core.canonical import CodeTable, canonical_code_table
 from ..models.gap_codec import Compressed
 
-__all__ = ["write_container", "read_container", "container_size"]
+__all__ = [
+    "write_container",
+    "read_container",
+    "container_size",
+    "write_ils_container",
+    "read_ils_container",
+    "ils_container_size",
+    "container_kind",
+]
 
 MAGIC = b"HTC1"
+ILS_MAGIC = b"ILS1"
 _HEADER = struct.Struct("<4sBBBBH")
 _SIZES = struct.Struct("<QII")
+_ILS_HEADER = struct.Struct("<4sBBHQB")
+_ILS_SECTION = struct.Struct("<IIiIII")
+
+
+def container_kind(buf: bytes) -> str:
+    """"htc1" | "ils1" from the magic, else ValueError."""
+    head = bytes(buf[:4])
+    if head == MAGIC:
+        return "htc1"
+    if head == ILS_MAGIC:
+        return "ils1"
+    raise ValueError("unknown container magic")
 
 
 def _table_entries(table: CodeTable) -> np.ndarray:
@@ -124,3 +145,109 @@ def read_container(buf: bytes) -> Compressed:
     if off != len(buf):
         raise ValueError(f"container has {len(buf) - off} trailing bytes")
     return comp
+
+
+# ----------------------------------------------------------------------
+# ILS1 — interleaved-stream container (flagship format)
+# ----------------------------------------------------------------------
+# Layout (little-endian):
+#   magic          4s  b"ILS1"
+#   version        u8  1
+#   max_len        u8
+#   n_sym          u16
+#   original_size  u64
+#   n_sections     u8
+#   n_sym x (symbol u8, length u8)     # canonical order
+#   per section:
+#     k u32, snum u32, boff i32, w_band u32, w_cap u32, n_tiles u32
+#     n_tiles x w_tile u32
+#     payload u32 x (sum(w_tiles) * 1024)
+#
+# Metadata is ~4 bytes per tile (megabytes of payload); the size overhead of
+# the format lives in the per-stream zero padding to each tile's max word
+# count, certified and measured by the encoder (core/ils_ref.py).
+
+
+def ils_container_size(comp) -> int:
+    size = _ILS_HEADER.size + 2 * comp.table.num_symbols
+    for sec in comp.sections:
+        size += _ILS_SECTION.size + 4 * sec.params.n_tiles + sec.payload.nbytes
+    return size
+
+
+def write_ils_container(comp) -> bytes:
+    from ..models.ils_codec import IlsCompressed
+
+    assert isinstance(comp, IlsCompressed)
+    parts = [
+        _ILS_HEADER.pack(
+            ILS_MAGIC,
+            1,
+            comp.table.max_len,
+            comp.table.num_symbols,
+            comp.original_size,
+            len(comp.sections),
+        ),
+        _table_entries(comp.table).tobytes(),
+    ]
+    for sec in comp.sections:
+        p = sec.params
+        parts.append(
+            _ILS_SECTION.pack(p.k, p.snum, p.boff, p.w_band, p.w_cap, p.n_tiles)
+        )
+        parts.append(p.w_tiles.astype(np.uint32).tobytes())
+        parts.append(np.ascontiguousarray(sec.payload, np.uint32).tobytes())
+    return b"".join(parts)
+
+
+def read_ils_container(buf: bytes):
+    from ..core.ils_ref import ILS_LANES, IlsParams
+    from ..models.ils_codec import IlsCompressed
+    from ..ops.ils import IlsSection
+
+    mv = memoryview(buf)
+    if len(buf) < _ILS_HEADER.size or bytes(mv[:4]) != ILS_MAGIC:
+        raise ValueError("not an ILS1 container (bad magic)")
+    _, version, max_len, n_sym, original_size, n_sections = _ILS_HEADER.unpack_from(
+        mv, 0
+    )
+    if version != 1:
+        raise ValueError(f"unsupported ILS container version {version}")
+    off = _ILS_HEADER.size
+    entries = np.frombuffer(mv, np.uint8, 2 * n_sym, off).reshape(n_sym, 2)
+    off += 2 * n_sym
+    lengths = np.zeros(256, np.uint8)
+    lengths[entries[:, 0]] = entries[:, 1]
+    table = canonical_code_table(lengths, max_len)
+
+    sections = []
+    for _ in range(n_sections):
+        if off + _ILS_SECTION.size > len(buf):
+            raise ValueError("truncated ILS1 container")
+        k, snum, boff, w_band, w_cap, n_tiles = _ILS_SECTION.unpack_from(mv, off)
+        off += _ILS_SECTION.size
+        w_tiles = np.frombuffer(mv, np.uint32, n_tiles, off).astype(np.int32)
+        off += 4 * n_tiles
+        total_rows = int(w_tiles.sum())
+        n_words = total_rows * ILS_LANES
+        if off + 4 * n_words > len(buf):
+            raise ValueError("truncated ILS1 container")
+        payload = (
+            np.frombuffer(mv, np.uint32, n_words, off).reshape(total_rows, ILS_LANES)
+        ).copy()
+        off += 4 * n_words
+        params = IlsParams(
+            k=int(k),
+            snum=int(snum),
+            boff=int(boff),
+            w_band=int(w_band),
+            w_cap=int(w_cap),
+            w_tiles=w_tiles,
+            n_tiles=int(n_tiles),
+        )
+        sections.append(IlsSection(params=params, payload=payload))
+    if off != len(buf):
+        raise ValueError(f"container has {len(buf) - off} trailing bytes")
+    return IlsCompressed(
+        table=table, original_size=int(original_size), sections=sections
+    )

@@ -1,3 +1,4 @@
 from .gap_codec import GapArrayCodec, Compressed
+from .ils_codec import IlsCodec, IlsCompressed
 
-__all__ = ["GapArrayCodec", "Compressed"]
+__all__ = ["GapArrayCodec", "Compressed", "IlsCodec", "IlsCompressed"]

@@ -1,0 +1,148 @@
+"""IlsCodec — the flagship interleaved-stream codec pipeline.
+
+The TPU-native successor to the gap-array design (see `core/ils_ref.py` for
+the layout and `ops/pallas/ils_kernels.py` for the kernels).  Relationship
+to the reference (`Huffman_coding_Gap_arrays/`): both make data-parallel
+decode possible with encoder-side metadata, but where the reference stores
+a 4-bit entry offset per 128-bit segment and still needs a counting pass +
+prefix sum + atomicOr scatter at decode time
+(`decoder/src/decoder.cu:529-729`), ILS certifies a whole refill *schedule*
+so the decoder is one fully static lock-step kernel whose output is the
+original data by construction.
+
+The stream is cut into a main section (uniform ``k`` symbols per stream,
+chosen to fit the VMEM budget for the table's mean code length) plus at most
+one tail section with a smaller ``k``; the tail is zero-padded to a whole
+tile (at most 4 KB of padding symbols).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..constants import MAX_CODEWORD_LENGTH
+from ..core import npref
+from ..core.canonical import CodeTable, canonical_code_table
+from ..core.ils_ref import ILS_LANES
+from ..core.package_merge import package_merge_lengths
+from ..ops.ils import IlsSection, ils_decode_device, ils_encode_device, pick_k
+from ..ops.pallas.ils_kernels import ils_dec_tabs, ils_enc_tabs
+
+__all__ = ["IlsCompressed", "IlsCodec"]
+
+_TILE_U32 = ILS_LANES  # u32 words per symbol row
+
+
+@dataclasses.dataclass
+class IlsCompressed:
+    """Host-side compressed representation: table + 1-2 ILS sections."""
+
+    table: CodeTable
+    original_size: int
+    sections: list  # list[IlsSection]
+
+    @property
+    def compressed_bytes(self) -> int:
+        from ..io.container import ils_container_size
+
+        return ils_container_size(self)
+
+
+class IlsCodec:
+    """Canonical length-limited Huffman codec over interleaved streams.
+
+    Typical use::
+
+        codec = IlsCodec.fit(data)     # host: histogram + tables + k choice
+        comp = codec.encode(data)      # device: 2-pass certified pack
+        out = codec.decode(comp)       # device: one static kernel dispatch
+    """
+
+    def __init__(self, table: CodeTable, *, k: int | None = None,
+                 interpret: bool = False):
+        self.table = table
+        self.enc = ils_enc_tabs(table)
+        self.dec = ils_dec_tabs(table)
+        self.interpret = interpret
+        self.k = int(k) if k else pick_k(8.0)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def fit(
+        cls,
+        data: np.ndarray,
+        *,
+        max_len: int = MAX_CODEWORD_LENGTH,
+        k: int | None = None,
+        interpret: bool = False,
+    ) -> "IlsCodec":
+        data = np.asarray(data, np.uint8)
+        freqs = npref.histogram(data)
+        # account for the zero padding encode() appends (worst case one tile)
+        freqs[0] += 1
+        table = canonical_code_table(package_merge_lengths(freqs, max_len), max_len)
+        if k is None:
+            avg = float(
+                (freqs * table.lengths.astype(np.int64)).sum() / max(freqs.sum(), 1)
+            )
+            k = pick_k(avg)
+        return cls(table, k=k, interpret=interpret)
+
+    # ------------------------------------------------------------------
+    def _avg_bits(self, data: np.ndarray) -> float:
+        freqs = npref.histogram(data)
+        return float(
+            (freqs * self.table.lengths.astype(np.int64)).sum() / max(data.size, 1)
+        )
+
+    def encode(self, data: np.ndarray) -> IlsCompressed:
+        data = np.asarray(data, np.uint8)
+        n = data.size
+        comp = IlsCompressed(table=self.table, original_size=n, sections=[])
+        if n == 0:
+            return comp
+
+        tile_bytes = self.k * ILS_LANES
+        n_full = n // tile_bytes
+        sections = []
+        if n_full:
+            main = data[: n_full * tile_bytes]
+            sections.append((main, self.k))
+        rem = n - n_full * tile_bytes
+        if rem:
+            k_tail = max(-(-rem // (4 * ILS_LANES)) * 4, 8)
+            padded = np.zeros(k_tail * ILS_LANES, np.uint8)
+            padded[:rem] = data[n_full * tile_bytes :]
+            sections.append((padded, k_tail))
+
+        for chunk, k in sections:
+            comp.sections.append(
+                ils_encode_device(
+                    chunk,
+                    self.table,
+                    self.enc,
+                    k=k,
+                    avg_bits=self._avg_bits(chunk),
+                    interpret=self.interpret,
+                )
+            )
+        return comp
+
+    def decode(self, comp: IlsCompressed) -> np.ndarray:
+        n = comp.original_size
+        if n == 0:
+            return np.zeros(0, np.uint8)
+        outs = [
+            ils_decode_device(sec, comp.table, self.dec, interpret=self.interpret)
+            for sec in comp.sections
+        ]
+        return np.concatenate(outs)[:n]
+
+    # ------------------------------------------------------------------
+    def roundtrip_check(self, data: np.ndarray) -> bool:
+        """Self-verifying round-trip (the reference's universal test pattern,
+        `sequential.cpp:266-277`, `CUHDUtil::equals`)."""
+        out = self.decode(self.encode(data))
+        return bool(np.array_equal(out, np.asarray(data, np.uint8)))

@@ -1,0 +1,443 @@
+"""Pallas TPU kernels for the interleaved-stream (ILS) layout.
+
+Three kernels over tiles of 1024 lanes (see `core/ils_ref.py` for the layout
+contract and the schedule proof):
+
+- ``ils_lengths_pass``: simulates the decoder-refill / encoder-emission
+  schedule from codeword lengths only, returning per-stream total bits and
+  the deviation envelope that sizes the refill band.  Plays the role of the
+  reference encoder's first over-the-data pass (the per-thread code-length
+  sum feeding its prefix scan, `Huffman_coding_Gap_arrays/encoder/src/
+  encoder.cu:181-220`) — here the pass's result *is* the schedule
+  certificate stored in the container.
+- ``ils_pack``: MSB-first bit packing of 1024 streams in lock-step with
+  banded one-hot word emission — the TPU replacement for the reference's
+  atomicOr boundary writes (`encoder.cu:317-347`): every u32 word of the
+  payload has exactly one writer by construction.
+- ``ils_decode``: the hot kernel.  Fully static control flow: every lane
+  decodes exactly ``k`` symbols, refilling a 64-bit shift register from a
+  narrow banded window (one-hot select over ``w_band`` rows), and emits four
+  packed symbols per iteration which ARE the original little-endian u32 —
+  the output-placement phase of the reference decoder (prefix-sum +
+  atomicOr, `decoder/src/decoder.cu:571-729`) has no equivalent here
+  because nothing needs moving.
+
+All state lives in (8, 128) int32/uint32 vregs; per-tile payload rows arrive
+via one explicit DMA (HBM -> VMEM) at a scalar-prefetched dynamic row
+offset.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.canonical import CodeTable
+
+__all__ = [
+    "IlsEncTabs",
+    "IlsDecTabs",
+    "ils_enc_tabs",
+    "ils_dec_tabs",
+    "ils_lengths_pass",
+    "ils_pack",
+    "ils_decode",
+]
+
+LANES = 128
+SUBLANES = 8
+TILE_LANES = SUBLANES * LANES  # 1024 streams per tile
+
+_BIG = np.int32(1 << 30)
+
+
+# ----------------------------------------------------------------------
+# Device table construction
+# ----------------------------------------------------------------------
+class IlsEncTabs(NamedTuple):
+    """Encoder lane tables: (len << 20) | code per symbol, split into two
+    128-wide halves for lane-dim take_along_axis."""
+
+    lo: jnp.ndarray  # (8, 128) int32, symbols 0..127
+    hi: jnp.ndarray  # (8, 128) int32, symbols 128..255
+
+
+class IlsDecTabs(NamedTuple):
+    """Decoder tables: SMEM canonical limits + lane-dim bias/symbol tables."""
+
+    lim: jnp.ndarray  # (1, 32) uint32 left-justified limits
+    bias: jnp.ndarray  # (8, 128) int32 offsets[l] - first_code[l]
+    sym_lo: jnp.ndarray  # (8, 128) int32 canonical ranks 0..127 -> symbol
+    sym_hi: jnp.ndarray  # (8, 128) int32 canonical ranks 128..255 -> symbol
+
+
+def ils_enc_tabs(table: CodeTable) -> IlsEncTabs:
+    packed = (table.lengths.astype(np.int32) << 20) | table.codes.astype(np.int32)
+    lo = np.tile(packed[:128][None], (SUBLANES, 1))
+    hi = np.tile(packed[128:][None], (SUBLANES, 1))
+    return IlsEncTabs(jnp.asarray(lo), jnp.asarray(hi))
+
+
+def ils_dec_tabs(table: CodeTable) -> IlsDecTabs:
+    lim = np.zeros((1, 32), np.uint32)
+    lim[0, : table.lim_left.shape[0]] = table.lim_left
+    bias = (
+        table.offsets.astype(np.int64) - table.first_code.astype(np.int64)
+    ).astype(np.int32)
+    bias_row = np.zeros(LANES, np.int32)
+    bias_row[: bias.shape[0]] = bias
+    bias_tab = np.tile(bias_row[None], (SUBLANES, 1))
+    symtab = np.zeros(256, np.int32)
+    symtab[: table.num_symbols] = table.symtab
+    sym_lo = np.tile(symtab[:128][None], (SUBLANES, 1))
+    sym_hi = np.tile(symtab[128:][None], (SUBLANES, 1))
+    return IlsDecTabs(
+        jnp.asarray(lim),
+        jnp.asarray(bias_tab),
+        jnp.asarray(sym_lo),
+        jnp.asarray(sym_hi),
+    )
+
+
+def _lane_lookup(tab_lo, tab_hi, idx):
+    """256-entry lane-table lookup of an (8, 128) int32 index in [0, 256)."""
+    low = jnp.take_along_axis(tab_lo, idx & 127, axis=1)
+    high = jnp.take_along_axis(tab_hi, idx & 127, axis=1)
+    return jnp.where(idx < 128, low, high)
+
+
+def _mu_base(i, params_ref, w_cap, w_band):
+    """Clamped refill-window base row for body iteration i (scalar)."""
+    mu = (i * params_ref[0]) >> 16
+    return jnp.clip(mu + params_ref[1], 0, w_cap - w_band)
+
+
+# ----------------------------------------------------------------------
+# Pass A: schedule simulation from lengths
+# ----------------------------------------------------------------------
+def _lengths_kernel(
+    params_ref, lenlo_ref, lenhi_ref, data_ref, bits_ref, dmin_ref, dmax_ref, *, k
+):
+    shape = (SUBLANES, LANES)
+
+    def half(w, mu, j0, valid, used, wptr, w_enc, dmin, dmax):
+        l_sum = jnp.zeros(shape, jnp.int32)
+        for j in (j0, j0 + 1):
+            sym = (w >> (8 * j)) & 255
+            entry = _lane_lookup(lenlo_ref[:], lenhi_ref[:], sym)
+            l_sum = l_sum + (entry >> 20)
+        valid = valid - l_sum
+        used = used + l_sum
+        refill = valid <= 32
+        dev = wptr - mu
+        dmin = jnp.minimum(dmin, jnp.where(refill, dev, _BIG))
+        dmax = jnp.maximum(dmax, jnp.where(refill, dev, -_BIG))
+        wptr = wptr + refill.astype(jnp.int32)
+        valid = valid + jnp.where(refill, 32, 0)
+        emit = used >= 32
+        dev_e = w_enc - mu
+        dmin = jnp.minimum(dmin, jnp.where(emit, dev_e, _BIG))
+        dmax = jnp.maximum(dmax, jnp.where(emit, dev_e, -_BIG))
+        w_enc = w_enc + emit.astype(jnp.int32)
+        used = used - jnp.where(emit, 32, 0)
+        return valid, used, wptr, w_enc, dmin, dmax
+
+    def body(i, carry):
+        w = data_ref[i]
+        mu = (i * params_ref[0]) >> 16
+        c = half(w, mu, 0, *carry)
+        c = half(w, mu, 2, *c)
+        return c
+
+    init = (
+        jnp.full(shape, 64, jnp.int32),
+        jnp.zeros(shape, jnp.int32),
+        jnp.full(shape, 2, jnp.int32),
+        jnp.zeros(shape, jnp.int32),
+        jnp.full(shape, _BIG, jnp.int32),
+        jnp.full(shape, -_BIG, jnp.int32),
+    )
+    valid, used, wptr, w_enc, dmin, dmax = jax.lax.fori_loop(
+        0, k // 4, body, init, unroll=False
+    )
+    mu_last = ((k // 4 - 1) * params_ref[0]) >> 16
+    flush = used > 0
+    dev_f = w_enc - mu_last
+    dmin = jnp.minimum(dmin, jnp.where(flush, dev_f, _BIG))
+    dmax = jnp.maximum(dmax, jnp.where(flush, dev_f, -_BIG))
+    bits_ref[0] = 32 * w_enc + used
+    dmin_ref[0] = dmin
+    dmax_ref[0] = dmax
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
+    """Schedule pass over (n_tiles*k//4, 8, 128) int32 data.
+
+    params: (2,) int32 [snum, unused].  Returns (bits, dev_min, dev_max),
+    each (n_tiles, 8, 128) int32 (per-stream).
+    """
+    n_tiles = data_i32.shape[0] // (k // 4)
+    kern = functools.partial(_lengths_kernel, k=k)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((SUBLANES, LANES), lambda t, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k // 4, SUBLANES, LANES), lambda t, p: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, SUBLANES, LANES), lambda t, p: (t, 0, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(3)
+        ],
+    )
+    out_sd = jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[out_sd, out_sd, out_sd],
+        interpret=interpret,
+    )(params, enc.lo, enc.hi, data_i32)
+
+
+# ----------------------------------------------------------------------
+# Pass B: bit packing
+# ----------------------------------------------------------------------
+def _pack_kernel(
+    params_ref, lo_tab, hi_tab, data_ref, out_ref, *, k, w_cap, w_band
+):
+    shape = (SUBLANES, LANES)
+    u32 = jnp.uint32
+    out_ref[:] = jnp.zeros((w_cap, SUBLANES, LANES), jnp.int32)
+    iota_band = jax.lax.broadcasted_iota(jnp.int32, (w_band, SUBLANES, LANES), 0)
+
+    def insert(hi, lo, used, entry):
+        ln = entry >> 20
+        code = (entry & 0xFFFF).astype(u32)
+        lns = ln.astype(u32)
+        c_left = code << (u32(32) - lns)
+        useds = used.astype(u32)
+        in_hi = used < 32
+        hi = hi | jnp.where(in_hi, c_left >> (useds & u32(31)), u32(0))
+        spill_lo = (c_left << ((u32(31) - useds) & u32(31))) << u32(1)
+        direct_lo = c_left >> ((useds - u32(32)) & u32(31))
+        lo = lo | jnp.where(in_hi, spill_lo, direct_lo)
+        return hi, lo, used + ln
+
+    def flush_word(hi, need, w_enc, base):
+        rel = w_enc - base
+        word = jnp.where(need, pltpu.bitcast(hi, jnp.int32), 0)
+        window = out_ref[pl.ds(base, w_band)]
+        contrib = jnp.where(iota_band == rel[None], word[None], 0)
+        out_ref[pl.ds(base, w_band)] = window | contrib
+
+    def emit(hi, lo, used, w_enc, base):
+        need = used >= 32
+        flush_word(hi, need, w_enc, base)
+        hi = jnp.where(need, lo, hi)
+        lo = jnp.where(need, u32(0), lo)
+        used = used - jnp.where(need, 32, 0)
+        w_enc = w_enc + need.astype(jnp.int32)
+        return hi, lo, used, w_enc
+
+    def body(i, carry):
+        hi, lo, used, w_enc = carry
+        w = data_ref[i]
+        base = _mu_base(i, params_ref, w_cap, w_band)
+        for j in (0, 1):
+            sym = (w >> (8 * j)) & 255
+            hi, lo, used = insert(hi, lo, used, _lane_lookup(lo_tab[:], hi_tab[:], sym))
+        hi, lo, used, w_enc = emit(hi, lo, used, w_enc, base)
+        for j in (2, 3):
+            sym = (w >> (8 * j)) & 255
+            hi, lo, used = insert(hi, lo, used, _lane_lookup(lo_tab[:], hi_tab[:], sym))
+        hi, lo, used, w_enc = emit(hi, lo, used, w_enc, base)
+        return hi, lo, used, w_enc
+
+    init = (
+        jnp.zeros(shape, u32),
+        jnp.zeros(shape, u32),
+        jnp.zeros(shape, jnp.int32),
+        jnp.zeros(shape, jnp.int32),
+    )
+    hi, lo, used, w_enc = jax.lax.fori_loop(0, k // 4, body, init, unroll=False)
+    base = _mu_base(k // 4 - 1, params_ref, w_cap, w_band)
+    flush_word(hi, used > 0, w_enc, base)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w_cap", "w_band", "interpret"))
+def ils_pack(data_i32, params, enc: IlsEncTabs, *, k, w_cap, w_band, interpret=False):
+    """Pack pass: returns per-tile padded payload (n_tiles*w_cap, 8, 128) i32.
+
+    Rows [t*w_cap + W_t, (t+1)*w_cap) are zero padding to be dropped by the
+    caller's compaction (W_t from ils_lengths_pass).
+    """
+    n_tiles = data_i32.shape[0] // (k // 4)
+    kern = functools.partial(_pack_kernel, k=k, w_cap=w_cap, w_band=w_band)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((SUBLANES, LANES), lambda t, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k // 4, SUBLANES, LANES), lambda t, p: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (w_cap, SUBLANES, LANES), lambda t, p: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * w_cap, SUBLANES, LANES), jnp.int32),
+        interpret=interpret,
+    )(params, enc.lo, enc.hi, data_i32)
+
+
+# ----------------------------------------------------------------------
+# Decode
+# ----------------------------------------------------------------------
+def _decode_kernel(
+    starts_ref,
+    params_ref,
+    lim_ref,
+    bias_ref,
+    symlo_ref,
+    symhi_ref,
+    payload_ref,
+    out_ref,
+    scratch,
+    sem,
+    *,
+    k,
+    w_cap,
+    w_band,
+    max_len,
+):
+    t = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        payload_ref.at[pl.ds(starts_ref[t], w_cap)], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+
+    u32 = jnp.uint32
+    shape = (SUBLANES, LANES)
+    iota_band = jax.lax.broadcasted_iota(jnp.int32, (w_band, SUBLANES, LANES), 0)
+
+    hi0 = pltpu.bitcast(scratch[0], u32)
+    lo0 = pltpu.bitcast(scratch[1], u32)
+
+    def decode_one(hi, lo, valid):
+        win = hi
+        ln = jnp.ones(shape, jnp.int32)
+        for l in range(1, max_len):
+            ln = ln + (win >= lim_ref[0, l]).astype(jnp.int32)
+        lns = ln.astype(u32)
+        value = (win >> (u32(32) - lns)).astype(jnp.int32)
+        rank = jnp.take_along_axis(bias_ref[:], ln, axis=1) + value
+        sym = _lane_lookup(symlo_ref[:], symhi_ref[:], rank & 255)
+        hi = (hi << lns) | ((lo >> u32(1)) >> (u32(31) - lns))
+        lo = lo << lns
+        valid = valid - ln
+        return hi, lo, valid, sym
+
+    def refill(hi, lo, valid, wptr, window, base):
+        need = valid <= 32
+        rel = wptr - base
+        sel = jnp.where(iota_band == rel[None], window, 0)
+        word = pltpu.bitcast(jnp.sum(sel, axis=0), u32)
+        word = jnp.where(need, word, u32(0))
+        vsh = valid.astype(u32)
+        hi = hi | ((word >> u32(1)) >> ((vsh - u32(1)) & u32(31)))
+        lo = lo | (word << ((u32(32) - vsh) & u32(31)))
+        valid = valid + jnp.where(need, 32, 0)
+        wptr = wptr + need.astype(jnp.int32)
+        return hi, lo, valid, wptr
+
+    def body(i, carry):
+        hi, lo, valid, wptr = carry
+        base = _mu_base(i, params_ref, w_cap, w_band)
+        window = scratch[pl.ds(base, w_band)]
+        hi, lo, valid, s0 = decode_one(hi, lo, valid)
+        hi, lo, valid, s1 = decode_one(hi, lo, valid)
+        hi, lo, valid, wptr = refill(hi, lo, valid, wptr, window, base)
+        hi, lo, valid, s2 = decode_one(hi, lo, valid)
+        hi, lo, valid, s3 = decode_one(hi, lo, valid)
+        hi, lo, valid, wptr = refill(hi, lo, valid, wptr, window, base)
+        pack = s0 | (s1 << 8) | (s2 << 16) | (s3 << 24)
+        out_ref[pl.ds(i, 1)] = pack[None]
+        return hi, lo, valid, wptr
+
+    init = (hi0, lo0, jnp.full(shape, 64, jnp.int32), jnp.full(shape, 2, jnp.int32))
+    jax.lax.fori_loop(0, k // 4, body, init, unroll=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "w_cap", "w_band", "max_len", "n_tiles", "interpret")
+)
+def ils_decode(
+    payload_rows,
+    row_starts,
+    params,
+    dec: IlsDecTabs,
+    *,
+    k,
+    w_cap,
+    w_band,
+    max_len,
+    n_tiles,
+    interpret=False,
+):
+    """Decode n_tiles tiles.
+
+    Args:
+      payload_rows: (total_rows + >=w_cap slack, 8, 128) int32 interleaved
+        payload rows.
+      row_starts: (n_tiles,) int32 payload row offset per tile.
+      params: (2,) int32 [snum, boff].
+
+    Returns (n_tiles * k//4, 8, 128) int32 — the original u32 data.
+    """
+    kern = functools.partial(
+        _decode_kernel, k=k, w_cap=w_cap, w_band=w_band, max_len=max_len
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 32), lambda t, s, p: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, s, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, s, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, s, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (k // 4, SUBLANES, LANES), lambda t, s, p: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((w_cap, SUBLANES, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles * (k // 4), SUBLANES, LANES), jnp.int32
+        ),
+        interpret=interpret,
+    )(row_starts, params, dec.lim, dec.bias, dec.sym_lo, dec.sym_hi, payload_rows)

@@ -1,0 +1,130 @@
+"""Interleaved-stream (ILS) codec tests: oracle equivalence, kernel parity
+(interpret mode), codec round-trips, container round-trips.
+
+The reference has no test framework (SURVEY §4); its pattern is the
+self-verifying round-trip in every main().  Here the pure-NumPy oracle
+(`core/ils_ref.py`) is additionally checked bit-for-bit against the Pallas
+kernels so encode and decode are pinned down independently.
+"""
+
+import numpy as np
+import pytest
+
+from huffman_tpu.core import canonical_code_table, package_merge_lengths, npref
+from huffman_tpu.core.ils_ref import (
+    ILS_LANES,
+    ils_decode_np,
+    ils_encode_np,
+    ils_simulate_schedule,
+    ils_stream_symbols,
+)
+from huffman_tpu.io import (
+    container_kind,
+    read_ils_container,
+    write_ils_container,
+)
+from huffman_tpu.models import IlsCodec
+from huffman_tpu.ops.ils import ils_decode_device, ils_encode_device
+from huffman_tpu.ops.pallas.ils_kernels import ils_dec_tabs, ils_enc_tabs
+from huffman_tpu.utils import generate_redundant
+
+
+def _fit(data, max_len=16):
+    return canonical_code_table(
+        package_merge_lengths(npref.histogram(data), max_len), max_len
+    )
+
+
+def test_stream_symbols_layout():
+    k = 8
+    n = 2 * k * ILS_LANES
+    data = np.arange(n, dtype=np.uint32).astype(np.uint8)
+    syms = ils_stream_symbols(data, k)
+    assert syms.shape == (2, k, ILS_LANES)
+    # symbol 4r+j of stream s in tile t is byte j of u32 word (t*k/4 + r)*1024 + s
+    u32 = data.view("<u4")
+    for t, r, j, s in [(0, 0, 0, 0), (0, 1, 2, 5), (1, 0, 3, 1023)]:
+        w = int(u32[(t * (k // 4) + r) * ILS_LANES + s])
+        assert syms[t, 4 * r + j, s] == ((w >> (8 * j)) & 255)
+
+
+@pytest.mark.parametrize("r", [0.0, 0.5, 0.95])
+@pytest.mark.parametrize("k", [8, 20])
+def test_oracle_roundtrip(r, k):
+    n = 3 * k * ILS_LANES
+    data = generate_redundant(n, r, seed=3)
+    table = _fit(data)
+    payload, params = ils_encode_np(data, table, k)
+    out = ils_decode_np(payload, params, table)
+    assert np.array_equal(out, data)
+
+
+@pytest.mark.parametrize("r", [0.0, 0.5, 0.9])
+def test_kernels_match_oracle(r):
+    k = 12
+    n = 2 * k * ILS_LANES
+    data = generate_redundant(n, r, seed=4)
+    table = _fit(data)
+    enc, dec = ils_enc_tabs(table), ils_dec_tabs(table)
+    avg = float(table.lengths.astype(np.int64)[data].mean())
+
+    payload_np, params_np = ils_encode_np(data, table, k)
+    sec = ils_encode_device(data, table, enc, k=k, avg_bits=avg, interpret=True)
+    assert sec.params.snum == params_np.snum
+    assert sec.params.boff == params_np.boff
+    assert sec.params.w_band == params_np.w_band
+    assert np.array_equal(sec.params.w_tiles, params_np.w_tiles)
+    assert np.array_equal(sec.payload, payload_np)
+
+    out = ils_decode_device(sec, table, dec, interpret=True)
+    assert np.array_equal(out, data)
+
+
+def test_schedule_simulation_envelope():
+    # all-same-symbol input: zero deviation from a constant-length schedule
+    k = 16
+    data = np.full(k * ILS_LANES, 7, np.uint8)
+    table = _fit(data)
+    lens = table.lengths[ils_stream_symbols(data, k)].astype(np.int64)
+    bits, dmin, dmax = ils_simulate_schedule(lens, 65536 // 8)  # 1 bit/sym
+    assert np.all(bits == k * int(table.lengths[7]))
+    assert dmax - dmin <= 4
+
+
+@pytest.mark.parametrize("n_extra", [0, 1, 4095, 4096, 70000])
+def test_codec_roundtrip_sizes(n_extra):
+    k = 8
+    n = k * ILS_LANES + n_extra
+    data = generate_redundant(n, 0.5, seed=5)
+    codec = IlsCodec.fit(data, k=k, interpret=True)
+    comp = codec.encode(data)
+    out = codec.decode(comp)
+    assert np.array_equal(out, data)
+
+
+def test_codec_empty():
+    codec = IlsCodec.fit(np.zeros(0, np.uint8), k=8, interpret=True)
+    comp = codec.encode(np.zeros(0, np.uint8))
+    assert codec.decode(comp).size == 0
+
+
+def test_container_roundtrip():
+    k = 8
+    data = generate_redundant(k * ILS_LANES + 777, 0.6, seed=6)
+    codec = IlsCodec.fit(data, k=k, interpret=True)
+    comp = codec.encode(data)
+    blob = write_ils_container(comp)
+    assert container_kind(blob) == "ils1"
+    assert len(blob) == comp.compressed_bytes
+    comp2 = read_ils_container(blob)
+    assert comp2.original_size == data.size
+    assert np.array_equal(comp2.table.lengths, comp.table.lengths)
+    out = codec.decode(comp2)
+    assert np.array_equal(out, data)
+
+
+def test_container_rejects_garbage():
+    with pytest.raises(ValueError):
+        read_ils_container(b"NOPE" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        container_kind(b"ZZZZ")
