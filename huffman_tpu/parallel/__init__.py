@@ -5,6 +5,11 @@ from .codec import (
     make_sharded_decode,
     make_sharded_roundtrip,
 )
+from .ils import (
+    shard_ils_payload,
+    make_ils_sharded_decode,
+    make_ils_sharded_roundtrip,
+)
 
 __all__ = [
     "data_mesh",
@@ -15,4 +20,7 @@ __all__ = [
     "make_sharded_encode",
     "make_sharded_decode",
     "make_sharded_roundtrip",
+    "shard_ils_payload",
+    "make_ils_sharded_decode",
+    "make_ils_sharded_roundtrip",
 ]

@@ -1,0 +1,84 @@
+"""Sharded ILS path on the virtual 8-device CPU mesh (SURVEY §4: multi-host
+logic testable with xla_force_host_platform_device_count)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from huffman_tpu.core import canonical_code_table, package_merge_lengths, npref
+from huffman_tpu.core.ils_ref import ILS_LANES
+from huffman_tpu.models import IlsCodec
+from huffman_tpu.ops.ils import _as_tiles_i32
+from huffman_tpu.ops.pallas.ils_kernels import ils_dec_tabs, ils_enc_tabs
+from huffman_tpu.parallel import (
+    data_mesh,
+    make_ils_sharded_decode,
+    make_ils_sharded_roundtrip,
+    shard_ils_payload,
+)
+from huffman_tpu.utils import generate_redundant
+
+
+def _fit(data):
+    return canonical_code_table(
+        package_merge_lengths(npref.histogram(data), 16), 16
+    )
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_ils_sharded_roundtrip(n_devices):
+    mesh = data_mesh(n_devices)
+    k, tpd = 8, 2  # tiles per device
+    n = n_devices * tpd * k * ILS_LANES
+    data = generate_redundant(n, 0.5, seed=7)
+    table = _fit(data)
+    enc, dec = ils_enc_tabs(table), ils_dec_tabs(table)
+    step = make_ils_sharded_roundtrip(
+        mesh, k=k, max_len=max(table.max_len_present, 1),
+        tiles_per_device=tpd, interpret=True,
+    )
+    data_dev = jnp.asarray(
+        _as_tiles_i32(data, k).reshape(n_devices, tpd * (k // 4), 8, 128)
+    )
+    out, ok = step(data_dev, enc, dec)
+    assert int(ok) == 1
+    got = np.asarray(out).reshape(-1, 8, 128).view(np.uint32).reshape(-1)
+    assert np.array_equal(got.view(np.uint8), data)
+
+
+def test_ils_sharded_decode_matches_codec():
+    n_devices, k, tpd = 4, 8, 3
+    mesh = data_mesh(n_devices)
+    n = n_devices * tpd * k * ILS_LANES
+    data = generate_redundant(n, 0.7, seed=8)
+    codec = IlsCodec.fit(data, k=k, interpret=True)
+    comp = codec.encode(data)
+    (sec,) = comp.sections
+    p = sec.params
+
+    payload_dev, starts_dev = shard_ils_payload(
+        sec.payload, p.row_starts, p.w_cap, n_devices
+    )
+    dec_fn, _ = make_ils_sharded_decode(
+        mesh,
+        k=p.k,
+        w_cap=p.w_cap,
+        w_band=p.w_band,
+        max_len=max(codec.table.max_len_present, 1),
+        tiles_per_device=tpd,
+        interpret=True,
+    )
+    params = jnp.asarray(np.array([p.snum, p.boff], np.int32))
+    out = dec_fn(
+        jnp.asarray(payload_dev), jnp.asarray(starts_dev), params, codec.dec
+    )
+    got = np.asarray(out).reshape(-1, 8, 128).view(np.uint32).reshape(-1)
+    assert np.array_equal(got.view(np.uint8), data)
+
+
+def test_shard_payload_rejects_indivisible():
+    with pytest.raises(ValueError):
+        shard_ils_payload(
+            np.zeros((4, ILS_LANES), np.uint32), np.array([0, 2, 4]), 8, 4
+        )
