@@ -25,8 +25,10 @@ def _add_codec_args(p):
     p.add_argument("--seg-bits", type=int, default=None)
     p.add_argument("--block-bytes", type=int, default=None)
     p.add_argument(
-        "--format", choices=["ils", "htc1"], default="ils",
-        help="container/codec: ils (interleaved-stream, flagship) or htc1 (gap-array)",
+        "--format", choices=["ils", "htc1", "yamamoto", "seq"], default="ils",
+        help="container: ils (flagship), htc1 (gap-array), "
+             "yamamoto (reference gap-array container), "
+             "seq (reference sequential.cpp blob)",
     )
     p.add_argument(
         "--k", type=int, default=None,
@@ -38,7 +40,39 @@ def _add_codec_args(p):
     )
 
 
+class _RefFormatCodec:
+    """Adapter: reference-format blobs behind the codec interface."""
+
+    def __init__(self, fmt, data, max_len):
+        from .core import npref
+        from .core.canonical import canonical_code_table
+        from .core.package_merge import package_merge_lengths
+
+        self.fmt = fmt
+        self.table = canonical_code_table(
+            package_merge_lengths(npref.histogram(data), max_len), max_len
+        )
+
+    def encode(self, data):
+        from .io.seqfmt import write_seq
+        from .io.yamamoto import write_yamamoto
+
+        if self.fmt == "seq":
+            return write_seq(data, self.table)
+        return write_yamamoto(data, self.table)
+
+    def decode(self, blob):
+        from .io.seqfmt import decode_seq
+        from .io.yamamoto import decode_yamamoto
+
+        if self.fmt == "seq":
+            return decode_seq(blob)
+        return decode_yamamoto(blob)
+
+
 def _make_codec(args, data):
+    if args.format in ("yamamoto", "seq"):
+        return _RefFormatCodec(args.format, data, args.max_len)
     if args.format == "ils":
         from .models import IlsCodec
 
@@ -49,6 +83,8 @@ def _make_codec(args, data):
 
 
 def _write_blob(args, comp):
+    if args.format in ("yamamoto", "seq"):
+        return comp  # _RefFormatCodec.encode already returns bytes
     if args.format == "ils":
         from .io import write_ils_container
 
@@ -97,6 +133,18 @@ def cmd_decode(args):
     from .io import container_kind, read_container, read_ils_container
 
     blob = open(args.input, "rb").read()
+    fmt = getattr(args, "format", "ils")
+    if fmt in ("yamamoto", "seq"):
+        from .io.seqfmt import decode_seq
+        from .io.yamamoto import decode_yamamoto
+
+        t0 = time.perf_counter()
+        out = decode_seq(blob) if fmt == "seq" else decode_yamamoto(blob)
+        dt = time.perf_counter() - t0
+        out.tofile(args.output)
+        print(f"Decompressed {out.size} bytes in {dt * 1e3:.1f} ms "
+              f"({fmt} reference format)")
+        return
     try:
         kind = container_kind(blob)
         if kind == "ils1":
@@ -129,11 +177,12 @@ def cmd_roundtrip(args):
     data = np.fromfile(args.input, np.uint8)
     codec = _make_codec(args, data)
     blob = _write_blob(args, codec.encode(data))
-    if args.format == "ils":
-        comp = read_ils_container(blob)
+    if args.format in ("yamamoto", "seq"):
+        out = codec.decode(blob)
+    elif args.format == "ils":
+        out = codec.decode(read_ils_container(blob))
     else:
-        comp = read_container(blob)
-    out = codec.decode(comp)
+        out = codec.decode(read_container(blob))
     ok = np.array_equal(out, data)
     print(f"Original size:   {data.size} bytes")
     print(f"Compressed size: {len(blob)} bytes "
@@ -180,10 +229,14 @@ def main(argv=None):
     _add_codec_args(p)
     p.set_defaults(fn=cmd_encode)
 
-    p = sub.add_parser("decode", help="decompress an HTC1 container")
+    p = sub.add_parser("decode", help="decompress a container (auto-detects ILS1/HTC1)")
     p.add_argument("input")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--method", choices=["lut", "canonical"], default="lut")
+    p.add_argument(
+        "--format", choices=["auto", "yamamoto", "seq"], default="auto",
+        help="force a reference format (these have no magic bytes)",
+    )
     p.set_defaults(fn=cmd_decode)
 
     p = sub.add_parser("roundtrip", help="encode+decode+verify a file")

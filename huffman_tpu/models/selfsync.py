@@ -1,0 +1,195 @@
+"""Self-synchronizing decoder — decode raw Huffman streams with NO metadata.
+
+Capability parity with the reference's CUHD decoder (`gpuhd/`): given only a
+canonical code table and the packed bit stream (no gap array, no counts —
+e.g. a stream produced by a foreign encoder such as `sequential.cpp`),
+recover all codeword boundaries and decode data-parallel.
+
+TPU-native pipeline (contrast `gpuhd/src/cuhd_gpu_decoder.cu:422-523`):
+
+1. **Transition pass** (Pallas, `ops/pallas/selfsync_kernels.py`): every
+   subsequence decoded from all 16 possible entry offsets, lengths only —
+   replaces CUHD's speculative phase 1/2 re-decode + host convergence loop
+   with an exact, single-dispatch computation.
+2. **Composition scan** (XLA / MXU): transitions become 16x16 one-hot
+   matrices; ``jax.lax.associative_scan`` over (P, c) with
+   ``(Pa @ Pb, ca + Pa @ cb)`` yields every subsequence's true entry state
+   and prefix symbol count in O(log n) batched-matmul steps — the role of
+   CUHD's thrust::exclusive_scan (`:497-505`) and sync iteration combined.
+3. **Decode pass**: the gap-array Pallas kernel (`decode_ranks_pallas`)
+   consumes (entry, count) per subsequence exactly as if an encoder-side gap
+   array existed; ragged output is compacted on host via a boolean mask
+   (decode-side placement is this path's cost — streams produced by THIS
+   framework carry ILS schedules instead and never pay it).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.canonical import CodeTable
+from ..ops.pallas.selfsync_kernels import SYNC_STATES, sync_transitions
+from ..ops.pallas.decode_kernel import decode_ranks_pallas
+from ..ops.tables import DecSpec, device_dec_table
+
+__all__ = ["selfsync_decode_words", "selfsync_decode_bytes", "is_canonical"]
+
+_SEG_BITS = 1024
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _compose_scan(exits: jnp.ndarray, counts: jnp.ndarray):
+    """Inclusive scan of transition composition.
+
+    exits/counts: (n, 16).  Returns (entry (n,) int32, prefix (n,) int32):
+    entry state of each subsequence and symbol count before it.
+    """
+    states = jnp.arange(SYNC_STATES, dtype=jnp.int32)
+    p = (exits[:, :, None] == states[None, None, :]).astype(jnp.float32)
+    c = counts.astype(jnp.float32)
+
+    def compose(a, b):
+        pa, ca = a
+        pb, cb = b
+        return pa @ pb, ca + jnp.einsum("nij,nj->ni", pa, cb)
+
+    pg, cg = jax.lax.associative_scan(compose, (p, c), axis=0)
+    # state-0 row of the inclusive prefix: exit/count after subsequences 0..i
+    exit_state = jnp.argmax(pg[:, 0, :], axis=-1).astype(jnp.int32)
+    through = cg[:, 0].astype(jnp.int32)
+    n = exits.shape[0]
+    entry = jnp.concatenate([jnp.zeros(1, jnp.int32), exit_state[: n - 1]])
+    prefix = jnp.concatenate([jnp.zeros(1, jnp.int32), through[: n - 1]])
+    return entry, prefix, through[n - 1]
+
+
+def selfsync_decode_words(
+    words: np.ndarray,
+    total_bits: int,
+    table: CodeTable,
+    *,
+    interpret: bool | None = None,
+) -> np.ndarray:
+    """Decode a raw MSB-first u32 stream given only its canonical table."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if total_bits == 0:
+        return np.zeros(0, np.uint8)
+    max_len = max(table.max_len_present, 1)
+    if max_len > SYNC_STATES:
+        raise ValueError("self-sync decode requires max codeword length <= 16")
+    n_subseq = _cdiv(total_bits, _SEG_BITS)
+    lim = np.zeros((1, 32), np.uint32)
+    lim[0, : table.lim_left.shape[0]] = table.lim_left
+
+    words_j = jnp.asarray(words)
+    packed = sync_transitions(
+        words_j,
+        jnp.int32(total_bits),
+        jnp.asarray(lim),
+        seg_bits=_SEG_BITS,
+        n_subseq=n_subseq,
+        max_len=max_len,
+        min_len=max(table.min_len, 1),
+        interpret=interpret,
+    )
+    packed = packed[:, :n_subseq].T  # (n, 16)
+    exits = packed >> 16
+    counts16 = packed & 0xFFFF
+    entry, prefix, total = _compose_scan(exits, counts16)
+    counts = jnp.take_along_axis(counts16, entry[:, None], axis=1)[:, 0]
+
+    counts_h = np.asarray(counts)
+    total_syms = int(np.asarray(total))
+    max_count = int(counts_h.max()) if n_subseq else 1
+
+    dec = device_dec_table(table)
+    spec = DecSpec(lut_bits=max_len, max_len=max_len, min_len=max(table.min_len, 1))
+    ranks = decode_ranks_pallas(
+        words_j,
+        entry,
+        counts,
+        dec,
+        spec=spec,
+        seg_bits=_SEG_BITS,
+        n_segs=n_subseq,
+        max_count=max_count,
+        interpret=interpret,
+    )
+    # host compaction: packed big-endian ranks -> ragged concat via mask
+    ranks_h = np.asarray(ranks)[:, :n_subseq]  # (out_rows, n)
+    by_sym = (
+        np.frombuffer(ranks_h.astype(">u4").tobytes(), np.uint8)
+        .reshape(ranks_h.shape[0], n_subseq, 4)
+        .transpose(1, 0, 2)
+        .reshape(n_subseq, -1)
+    )
+    mask = np.arange(by_sym.shape[1])[None, :] < counts_h[:, None]
+    out_ranks = by_sym[mask]
+    assert out_ranks.size == total_syms
+    symtab = np.zeros(256, np.uint8)
+    symtab[: table.num_symbols] = table.symtab
+    return symtab[out_ranks]
+
+
+def is_canonical(lengths: np.ndarray, codes: np.ndarray) -> bool:
+    """True iff (codes, lengths) is a canonical code: codes of each length
+    are consecutive and each level continues (prev + 1) << diff."""
+    syms = np.nonzero(np.asarray(lengths) > 0)[0]
+    if syms.size == 0:
+        return True
+    ls = np.asarray(lengths)[syms].astype(np.int64)
+    cs = np.asarray(codes)[syms].astype(np.int64)
+    order = np.lexsort((cs, ls))
+    ls, cs = ls[order], cs[order]
+    code = 0
+    for i in range(syms.size):
+        if i:
+            code = (code + 1) << (ls[i] - ls[i - 1])
+        if cs[i] != code:
+            return False
+    return True
+
+
+def selfsync_decode_bytes(payload: np.ndarray, total_bits: int, code) -> np.ndarray:
+    """Decode an MSB-first byte stream via self-sync (canonical codes), or
+    fall back to the host LUT walk for non-canonical prefix codes."""
+    from ..io.seqfmt import PrefixCode
+
+    assert isinstance(code, PrefixCode)
+    if not is_canonical(code.lengths, code.codes):
+        # foreign greedy-tree codes: host oracle walk (sequential.cpp:88-94)
+        lut_sym, lut_len = code.flat_lut()
+        b = code.max_len
+        bits = np.unpackbits(np.asarray(payload, np.uint8))[:total_bits]
+        bits = np.concatenate([bits, np.zeros(b, np.uint8)])
+        weights = 1 << np.arange(b - 1, -1, -1)
+        out = []
+        pos = 0
+        while pos < total_bits:
+            window = int(bits[pos : pos + b] @ weights)
+            l = int(lut_len[window])
+            if l == 0:
+                raise ValueError("corrupt stream: no codeword matches")
+            out.append(lut_sym[window])
+            pos += l
+        return np.asarray(out, np.uint8)
+
+    # canonical: rebuild a CodeTable in canonical (len, code) order
+    from ..io.yamamoto import table_from_length_sequence
+
+    syms = np.nonzero(code.lengths > 0)[0]
+    ls = code.lengths[syms].astype(np.int64)
+    cs = code.codes[syms].astype(np.int64)
+    order = np.lexsort((cs, ls))
+    table = table_from_length_sequence(syms[order].astype(np.uint8), ls[order])
+    n_bytes = -(-total_bits // 8)
+    padded = np.zeros(_cdiv(n_bytes, 4) * 4 + 8, np.uint8)
+    padded[:n_bytes] = payload[:n_bytes]
+    words = np.frombuffer(padded.tobytes(), ">u4").astype(np.uint32)
+    return selfsync_decode_words(words, total_bits, table)
