@@ -27,8 +27,13 @@ __all__ = [
 
 
 def histogram(data: np.ndarray) -> np.ndarray:
-    """(256,) int64 byte histogram (role of `encoder/src/encoder.cu:33-140`)."""
+    """(256,) int64 byte histogram (role of `encoder/src/encoder.cu:33-140`;
+    OpenMP native path mirrors `parallel_cpu.cpp:130-169`)."""
     data = np.asarray(data, dtype=np.uint8)
+    from .. import native
+
+    if native.available() and data.size >= (1 << 16):
+        return native.histogram(data)
     return np.bincount(data, minlength=ALPHABET_SIZE).astype(np.int64)
 
 
@@ -43,6 +48,13 @@ def encode_bits(data: np.ndarray, table: CodeTable):
     n = data.size
     if n == 0:
         return np.zeros(1, np.uint32), 0
+
+    from .. import native
+
+    if native.available():
+        if np.any(table.lengths[np.unique(data)] == 0):
+            raise ValueError("input contains a symbol absent from the code table")
+        return native.encode_bits(data, table.codes, table.lengths)
 
     lens = table.lengths[data].astype(np.int64)
     if np.any(lens == 0):

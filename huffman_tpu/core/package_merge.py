@@ -45,6 +45,13 @@ def package_merge_lengths(
         raise ValueError(f"freqs must be shape (256,), got {freqs.shape}")
     if np.any(freqs < 0):
         raise ValueError("negative frequency")
+    from .. import native
+
+    if native.available():
+        # C++ coin-collector (native/huffman_native.cpp), bit-identical to
+        # the NumPy path below (tests/test_native.py enforces it).
+        return native.package_merge_lengths(freqs, max_len)
+
     syms = np.nonzero(freqs)[0]
     k = len(syms)
     lengths = np.zeros(ALPHABET_SIZE, np.uint8)

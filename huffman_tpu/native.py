@@ -1,0 +1,129 @@
+"""ctypes bindings for the native host module (native/huffman_native.cpp).
+
+The framework's host-side table math ships in two interchangeable
+implementations: vectorized NumPy (always available) and this C++ module
+(OpenMP histogram, coin-collector package-merge, canonical assignment,
+MSB-first bit packer) — the counterpart of the reference's host C++ encoder
+components (`llhuffman_encoder.cc`, `package_merge.cpp`,
+`parallel_cpu.cpp:130-169`).  Both produce bit-identical outputs (enforced
+by tests/test_native.py).
+
+Build with ``make -C native``; loading is lazy and failure-tolerant — if the
+shared library is absent or ``HUFFMAN_TPU_NO_NATIVE`` is set, callers fall
+back to NumPy.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+
+import numpy as np
+
+__all__ = [
+    "available",
+    "histogram",
+    "package_merge_lengths",
+    "canonical_pieces",
+    "encode_bits",
+]
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("HUFFMAN_TPU_NO_NATIVE"):
+        return None
+    here = pathlib.Path(__file__).resolve().parent
+    candidates = [
+        here.parent / "native" / "libhuffman_native.so",
+        here / "libhuffman_native.so",
+    ]
+    for c in candidates:
+        if c.exists():
+            try:
+                lib = ctypes.CDLL(str(c))
+            except OSError:
+                continue
+            lib.hn_histogram.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            lib.hn_package_merge.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+            lib.hn_package_merge.restype = ctypes.c_int
+            lib.hn_canonical.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int)]
+            lib.hn_canonical.restype = ctypes.c_int
+            lib.hn_encode_bits.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            lib.hn_encode_bits.restype = ctypes.c_int64
+            _LIB = lib
+            break
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def histogram(data: np.ndarray) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.zeros(256, np.int64)
+    lib.hn_histogram(data.ctypes.data, data.size, out.ctypes.data)
+    return out
+
+
+def package_merge_lengths(freqs: np.ndarray, max_len: int) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    freqs = np.ascontiguousarray(freqs, np.int64)
+    lengths = np.zeros(256, np.uint8)
+    rc = lib.hn_package_merge(freqs.ctypes.data, max_len, lengths.ctypes.data)
+    if rc != 0:
+        raise ValueError(f"native package_merge failed (rc={rc})")
+    return lengths
+
+
+def canonical_pieces(lengths: np.ndarray):
+    """Returns (codes (256,) uint32, symtab (n,) uint8)."""
+    lib = _load()
+    assert lib is not None
+    lengths = np.ascontiguousarray(lengths, np.uint8)
+    codes = np.zeros(256, np.uint32)
+    symtab = np.zeros(256, np.uint8)
+    n = ctypes.c_int(0)
+    rc = lib.hn_canonical(
+        lengths.ctypes.data, codes.ctypes.data, symtab.ctypes.data,
+        ctypes.byref(n),
+    )
+    if rc != 0:
+        raise ValueError("native canonical assignment failed (Kraft violation)")
+    return codes, symtab[: n.value].copy()
+
+
+def encode_bits(data: np.ndarray, codes: np.ndarray, lengths: np.ndarray):
+    """MSB-first u32 pack; returns (words incl. one pad unit, total_bits)."""
+    lib = _load()
+    assert lib is not None
+    data = np.ascontiguousarray(data, np.uint8)
+    codes = np.ascontiguousarray(codes, np.uint32)
+    lengths = np.ascontiguousarray(lengths, np.uint8)
+    bound = int(lengths[data].astype(np.int64).sum()) if data.size else 0
+    words = np.zeros(bound // 32 + 2, np.uint32)
+    total = lib.hn_encode_bits(
+        data.ctypes.data, data.size, codes.ctypes.data, lengths.ctypes.data,
+        words.ctypes.data, words.size,
+    )
+    if total < 0:
+        raise ValueError(f"native encode_bits failed (rc={total})")
+    n_words = (int(total) + 31) // 32
+    return words[: n_words + 1], int(total)
