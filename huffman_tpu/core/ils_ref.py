@@ -69,11 +69,17 @@ ILS_LANES = 1024  # streams per tile: one (8, 128) vreg of lanes
 
 @dataclasses.dataclass(frozen=True)
 class IlsParams:
-    """Per-call schedule/layout parameters stored in the container."""
+    """Per-call schedule/layout parameters stored in the container.
+
+    ``boffs`` is per tile: the refill window is re-centered on each tile's
+    own deviation envelope, so a heterogeneous file (e.g. a zeros region
+    next to a random region) pays a wide band only where its statistics
+    actually wander, not globally.
+    """
 
     k: int  # symbols per stream (multiple of 4)
     snum: int  # expected rows per body iteration, 16.16 fixed point
-    boff: int  # band offset: min event deviation from mu_i
+    boffs: np.ndarray  # (n_tiles,) int32 per-tile decode-band offset
     w_band: int  # refill window rows (static in the kernel)
     w_cap: int  # row capacity per tile (>= max W_t, static in the kernel)
     w_tiles: np.ndarray  # (n_tiles,) int32 actual rows per tile
@@ -125,8 +131,9 @@ def ils_simulate_schedule(lens: np.ndarray, snum: int):
       snum: schedule numerator (16.16 fixed point).
 
     Returns (bits_total (n_tiles, LANES) int64,
-             dev_min int, dev_max int) where dev is the deviation of every
-    refill-read row and emission-write row (flush included) from mu_i.
+             dec_min, dec_max, enc_min, enc_max — each (n_tiles,) int64):
+    per-tile envelopes of refill-read rows (decoder schedule) and
+    emission-write rows (encoder schedule, flush included) relative to mu_i.
     """
     n_tiles, k, lanes = lens.shape
     assert k % 4 == 0
@@ -135,7 +142,17 @@ def ils_simulate_schedule(lens: np.ndarray, snum: int):
     wptr = np.full((n_tiles, lanes), 2, np.int64)
     used = np.zeros((n_tiles, lanes), np.int64)
     w_enc = np.zeros((n_tiles, lanes), np.int64)
-    dev_min, dev_max = np.int64(1 << 40), np.int64(-(1 << 40))
+    big = np.int64(1 << 40)
+    dec_min = np.full(n_tiles, big)
+    dec_max = np.full(n_tiles, -big)
+    enc_min = np.full(n_tiles, big)
+    enc_max = np.full(n_tiles, -big)
+
+    def track(mn, mx, mask, val, mu):
+        d = np.where(mask, val - mu, big)
+        np.minimum(mn, d.min(axis=1), out=mn)
+        d = np.where(mask, val - mu, -big)
+        np.maximum(mx, d.max(axis=1), out=mx)
 
     for i in range(k // 4):
         mu = _mu(i, snum)
@@ -144,28 +161,18 @@ def ils_simulate_schedule(lens: np.ndarray, snum: int):
             valid = valid - lens[:, s0] - lens[:, s0 + 1]
             used = used + lens[:, s0] + lens[:, s0 + 1]
             refill = valid <= 32
-            if refill.any():
-                d = wptr[refill] - mu
-                dev_min = min(dev_min, d.min())
-                dev_max = max(dev_max, d.max())
+            track(dec_min, dec_max, refill, wptr, mu)
             wptr = wptr + refill
             valid = valid + 32 * refill
             emit = used >= 32
-            if emit.any():
-                d = w_enc[emit] - mu
-                dev_min = min(dev_min, d.min())
-                dev_max = max(dev_max, d.max())
+            track(enc_min, enc_max, emit, w_enc, mu)
             w_enc = w_enc + emit
             used = used - 32 * emit
     # final flush of partial words, scheduled at the last iteration's mu
     mu = _mu(k // 4 - 1, snum)
-    flush = used > 0
-    if flush.any():
-        d = w_enc[flush] - mu
-        dev_min = min(dev_min, d.min())
-        dev_max = max(dev_max, d.max())
+    track(enc_min, enc_max, used > 0, w_enc, mu)
     bits = 32 * w_enc + used
-    return bits.astype(np.int64), int(dev_min), int(dev_max)
+    return bits.astype(np.int64), dec_min, dec_max, enc_min, enc_max
 
 
 def _round_band(span: int) -> int:
@@ -196,16 +203,17 @@ def ils_encode_np(data: np.ndarray, table: CodeTable, k: int):
 
     avg = float(lens.mean())
     snum = ils_schedule_numer(avg)
-    bits, dev_min, dev_max = ils_simulate_schedule(lens, snum)
+    bits, dec_min, dec_max, enc_min, enc_max = ils_simulate_schedule(lens, snum)
 
     w_tiles = np.maximum(-(-bits.max(axis=1) // 32), 2).astype(np.int64)
     w_cap = _round_cap(int(w_tiles.max()))
-    w_band = min(_round_band(dev_max - dev_min + 2), w_cap)
-    boff = dev_min
+    dec_span = int(np.maximum(dec_max - dec_min, 0).max(initial=0))
+    w_band = min(_round_band(dec_span + 2), w_cap)
+    boffs = np.where(dec_min <= dec_max, dec_min, 0).astype(np.int32)
     params = IlsParams(
         k=k,
         snum=snum,
-        boff=int(boff),
+        boffs=boffs,
         w_band=int(w_band),
         w_cap=int(w_cap),
         w_tiles=w_tiles.astype(np.int32),
@@ -263,7 +271,7 @@ def ils_decode_np(
         valid = np.full(lanes, 64, np.int64)
         wptr = np.full(lanes, 2, np.int64)
         for i in range(k // 4):
-            base = min(max(_mu(i, params.snum) + params.boff, 0),
+            base = min(max(_mu(i, params.snum) + int(params.boffs[t]), 0),
                        params.w_cap - params.w_band)
             for half in range(2):
                 for j in range(2):

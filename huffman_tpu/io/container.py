@@ -159,8 +159,9 @@ def read_container(buf: bytes) -> Compressed:
 #   n_sections     u8
 #   n_sym x (symbol u8, length u8)     # canonical order
 #   per section:
-#     k u32, snum u32, boff i32, w_band u32, w_cap u32, n_tiles u32
+#     k u32, snum u32, reserved i32, w_band u32, w_cap u32, n_tiles u32
 #     n_tiles x w_tile u32
+#     n_tiles x boff i32        # per-tile decode band offset
 #     payload u32 x (sum(w_tiles) * 1024)
 #
 # Metadata is ~4 bytes per tile (megabytes of payload); the size overhead of
@@ -171,7 +172,7 @@ def read_container(buf: bytes) -> Compressed:
 def ils_container_size(comp) -> int:
     size = _ILS_HEADER.size + 2 * comp.table.num_symbols
     for sec in comp.sections:
-        size += _ILS_SECTION.size + 4 * sec.params.n_tiles + sec.payload.nbytes
+        size += _ILS_SECTION.size + 8 * sec.params.n_tiles + sec.payload.nbytes
     return size
 
 
@@ -193,9 +194,10 @@ def write_ils_container(comp) -> bytes:
     for sec in comp.sections:
         p = sec.params
         parts.append(
-            _ILS_SECTION.pack(p.k, p.snum, p.boff, p.w_band, p.w_cap, p.n_tiles)
+            _ILS_SECTION.pack(p.k, p.snum, 0, p.w_band, p.w_cap, p.n_tiles)
         )
         parts.append(p.w_tiles.astype(np.uint32).tobytes())
+        parts.append(p.boffs.astype(np.int32).tobytes())
         parts.append(np.ascontiguousarray(sec.payload, np.uint32).tobytes())
     return b"".join(parts)
 
@@ -224,9 +226,13 @@ def read_ils_container(buf: bytes):
     for _ in range(n_sections):
         if off + _ILS_SECTION.size > len(buf):
             raise ValueError("truncated ILS1 container")
-        k, snum, boff, w_band, w_cap, n_tiles = _ILS_SECTION.unpack_from(mv, off)
+        k, snum, _reserved, w_band, w_cap, n_tiles = _ILS_SECTION.unpack_from(
+            mv, off
+        )
         off += _ILS_SECTION.size
         w_tiles = np.frombuffer(mv, np.uint32, n_tiles, off).astype(np.int32)
+        off += 4 * n_tiles
+        boffs = np.frombuffer(mv, np.int32, n_tiles, off).copy()
         off += 4 * n_tiles
         total_rows = int(w_tiles.sum())
         n_words = total_rows * ILS_LANES
@@ -239,7 +245,7 @@ def read_ils_container(buf: bytes):
         params = IlsParams(
             k=int(k),
             snum=int(snum),
-            boff=int(boff),
+            boffs=boffs,
             w_band=int(w_band),
             w_cap=int(w_cap),
             w_tiles=w_tiles,

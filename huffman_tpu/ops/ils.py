@@ -11,8 +11,10 @@ sub-word gather.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.canonical import CodeTable
@@ -98,6 +100,85 @@ def _as_tiles_i32(data: np.ndarray, k: int) -> np.ndarray:
     return u32.view(np.int32).reshape(-1, 8, 128)
 
 
+@functools.partial(jax.jit, static_argnames=("w_cap", "total_rows"))
+def ils_compact_rows(padded, row_starts, *, w_cap, total_rows):
+    """Device-side compaction of per-tile padded payload rows.
+
+    padded: (n_tiles * w_cap, 8, 128) int32; row_starts: (n_tiles,) int32
+    cumulative W_t offsets.  Sequential dynamic-update-slices in tile order:
+    each tile writes its full w_cap rows (real rows then zero padding) at its
+    compact offset, and the next tile's write overwrites the padding — the
+    same overlap discipline as the ILS decode DMA slack.  Returns
+    (total_rows + w_cap, 8, 128) rows (slack included).
+    """
+    n_tiles = row_starts.shape[0]
+    out = jnp.zeros((total_rows + w_cap, 8, 128), jnp.int32)
+
+    def body(t, out):
+        tile = jax.lax.dynamic_slice(
+            padded, (t * w_cap, 0, 0), (w_cap, 8, 128)
+        )
+        return jax.lax.dynamic_update_slice(out, tile, (row_starts[t], 0, 0))
+
+    return jax.lax.fori_loop(0, n_tiles, body, out)
+
+
+def ils_encode_to_device(
+    data_i32,
+    enc: IlsEncTabs,
+    *,
+    k: int,
+    avg_bits: float,
+    interpret: bool = False,
+):
+    """Device-resident encode: returns (payload_rows, row_starts_dev, params).
+
+    payload_rows stays on device (compacted, with w_cap slack rows); only
+    small per-tile metadata syncs to host.  D2H traffic is O(n_tiles), not
+    O(payload) — essential when the host link is slow.
+    """
+    n_tiles = data_i32.shape[0] // (k // 4)
+    snum = ils_schedule_numer(avg_bits)
+    params_j = jnp.asarray(np.array([snum, 0], np.int32))
+    bits, dec_min, dec_max, enc_min, enc_max = ils_lengths_pass(
+        data_i32, params_j, enc, k=k, interpret=interpret
+    )
+    w_tiles = np.asarray(
+        jnp.maximum(-(-jnp.max(bits, axis=(1, 2)) // 32), 2)
+    ).astype(np.int64)
+    dec_min = np.asarray(jnp.min(dec_min, axis=(1, 2)))
+    dec_max = np.asarray(jnp.max(dec_max, axis=(1, 2)))
+    enc_min = np.asarray(jnp.min(enc_min, axis=(1, 2)))
+    enc_max = np.asarray(jnp.max(enc_max, axis=(1, 2)))
+
+    w_cap = round_cap(int(w_tiles.max()))
+    dec_span = int(np.maximum(dec_max - dec_min, 0).max(initial=0))
+    enc_span = int(np.maximum(enc_max - enc_min, 0).max(initial=0))
+    w_band = min(round_band(dec_span + 2), w_cap)
+    w_band_enc = min(round_band(enc_span + 2), w_cap)
+    boffs = np.where(dec_min <= dec_max, dec_min, 0).astype(np.int32)
+    boffs_enc = np.where(enc_min <= enc_max, enc_min, 0).astype(np.int32)
+    params = IlsParams(
+        k=k,
+        snum=snum,
+        boffs=boffs,
+        w_band=int(w_band),
+        w_cap=int(w_cap),
+        w_tiles=w_tiles.astype(np.int32),
+        n_tiles=n_tiles,
+    )
+
+    padded = ils_pack(
+        data_i32, params_j, jnp.asarray(boffs_enc), enc,
+        k=k, w_cap=w_cap, w_band=w_band_enc, interpret=interpret,
+    )
+    row_starts_dev = jnp.asarray(params.row_starts[:-1].astype(np.int32))
+    payload_rows = ils_compact_rows(
+        padded, row_starts_dev, w_cap=w_cap, total_rows=params.total_rows
+    )
+    return payload_rows, row_starts_dev, params
+
+
 def ils_encode_device(
     data: np.ndarray,
     table: CodeTable,
@@ -109,47 +190,21 @@ def ils_encode_device(
 ) -> IlsSection:
     """Encode flat bytes (size must be a multiple of k*1024) into one section.
 
-    Two dispatches + one host sync.  Raises ValueError if the certified band
-    cannot be honored (never happens: the pack pass uses the exact envelope
-    measured by the schedule pass).
-    """
+    Raises ValueError if the certified band cannot be honored (never
+    happens: the pack pass uses the exact envelope measured by the schedule
+    pass)."""
     data = np.ascontiguousarray(data, np.uint8)
     if data.size % (k * ILS_LANES):
         raise ValueError("data size must be a multiple of k * 1024")
-    n_tiles = data.size // (k * ILS_LANES)
     data_i32 = jnp.asarray(_as_tiles_i32(data, k))
-
-    snum = ils_schedule_numer(avg_bits)
-    params_a = jnp.asarray(np.array([snum, 0], np.int32))
-    bits, dmin, dmax = ils_lengths_pass(
-        data_i32, params_a, enc, k=k, interpret=interpret
+    payload_rows, _, params = ils_encode_to_device(
+        data_i32, enc, k=k, avg_bits=avg_bits, interpret=interpret
     )
-    bits = np.asarray(bits)
-    dev_min = int(np.asarray(dmin).min())
-    dev_max = int(np.asarray(dmax).max())
-
-    w_tiles = np.maximum(-(-bits.max(axis=(1, 2)) // 32), 2).astype(np.int64)
-    w_cap = round_cap(int(w_tiles.max()))
-    w_band = min(round_band(dev_max - dev_min + 2), w_cap)
-    boff = dev_min
-    params = IlsParams(
-        k=k,
-        snum=snum,
-        boff=boff,
-        w_band=int(w_band),
-        w_cap=int(w_cap),
-        w_tiles=w_tiles.astype(np.int32),
-        n_tiles=n_tiles,
+    payload = (
+        np.asarray(payload_rows[: params.total_rows])
+        .reshape(params.total_rows, ILS_LANES)
+        .view(np.uint32)
     )
-
-    params_b = jnp.asarray(np.array([snum, boff], np.int32))
-    padded = ils_pack(
-        data_i32, params_b, enc, k=k, w_cap=w_cap, w_band=w_band, interpret=interpret
-    )
-    padded = np.asarray(padded).reshape(n_tiles, w_cap, ILS_LANES)
-    payload = np.concatenate(
-        [padded[t, : int(w_tiles[t])] for t in range(n_tiles)], axis=0
-    ).view(np.uint32)
     return IlsSection(params=params, payload=payload)
 
 
@@ -166,11 +221,12 @@ def ils_decode_device(
     slack = np.zeros((p.w_cap, 8, 128), np.int32)
     payload_rows = jnp.asarray(np.concatenate([rows, slack], axis=0))
     row_starts = jnp.asarray(p.row_starts[:-1].astype(np.int32))
-    params = jnp.asarray(np.array([p.snum, p.boff], np.int32))
+    params = jnp.asarray(np.array([p.snum, 0], np.int32))
     out = ils_decode(
         payload_rows,
         row_starts,
         params,
+        jnp.asarray(p.boffs, jnp.int32),
         dec,
         k=p.k,
         w_cap=p.w_cap,

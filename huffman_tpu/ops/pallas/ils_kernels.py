@@ -112,21 +112,22 @@ def _lane_lookup(tab_lo, tab_hi, idx):
     return jnp.where(idx < 128, low, high)
 
 
-def _mu_base(i, params_ref, w_cap, w_band):
-    """Clamped refill-window base row for body iteration i (scalar)."""
-    mu = (i * params_ref[0]) >> 16
-    return jnp.clip(mu + params_ref[1], 0, w_cap - w_band)
+def _mu_base(i, snum, boff, w_cap, w_band):
+    """Clamped refill-window base row for body iteration i (scalars)."""
+    mu = (i * snum) >> 16
+    return jnp.clip(mu + boff, 0, w_cap - w_band)
 
 
 # ----------------------------------------------------------------------
 # Pass A: schedule simulation from lengths
 # ----------------------------------------------------------------------
 def _lengths_kernel(
-    params_ref, lenlo_ref, lenhi_ref, data_ref, bits_ref, dmin_ref, dmax_ref, *, k
+    params_ref, lenlo_ref, lenhi_ref, data_ref,
+    bits_ref, dnmin_ref, dnmax_ref, enmin_ref, enmax_ref, *, k
 ):
     shape = (SUBLANES, LANES)
 
-    def half(w, mu, j0, valid, used, wptr, w_enc, dmin, dmax):
+    def half(w, mu, j0, valid, used, wptr, w_enc, dn, dx, en, ex):
         l_sum = jnp.zeros(shape, jnp.int32)
         for j in (j0, j0 + 1):
             sym = (w >> (8 * j)) & 255
@@ -136,17 +137,17 @@ def _lengths_kernel(
         used = used + l_sum
         refill = valid <= 32
         dev = wptr - mu
-        dmin = jnp.minimum(dmin, jnp.where(refill, dev, _BIG))
-        dmax = jnp.maximum(dmax, jnp.where(refill, dev, -_BIG))
+        dn = jnp.minimum(dn, jnp.where(refill, dev, _BIG))
+        dx = jnp.maximum(dx, jnp.where(refill, dev, -_BIG))
         wptr = wptr + refill.astype(jnp.int32)
         valid = valid + jnp.where(refill, 32, 0)
         emit = used >= 32
         dev_e = w_enc - mu
-        dmin = jnp.minimum(dmin, jnp.where(emit, dev_e, _BIG))
-        dmax = jnp.maximum(dmax, jnp.where(emit, dev_e, -_BIG))
+        en = jnp.minimum(en, jnp.where(emit, dev_e, _BIG))
+        ex = jnp.maximum(ex, jnp.where(emit, dev_e, -_BIG))
         w_enc = w_enc + emit.astype(jnp.int32)
         used = used - jnp.where(emit, 32, 0)
-        return valid, used, wptr, w_enc, dmin, dmax
+        return valid, used, wptr, w_enc, dn, dx, en, ex
 
     def body(i, carry):
         w = data_ref[i]
@@ -162,26 +163,31 @@ def _lengths_kernel(
         jnp.zeros(shape, jnp.int32),
         jnp.full(shape, _BIG, jnp.int32),
         jnp.full(shape, -_BIG, jnp.int32),
+        jnp.full(shape, _BIG, jnp.int32),
+        jnp.full(shape, -_BIG, jnp.int32),
     )
-    valid, used, wptr, w_enc, dmin, dmax = jax.lax.fori_loop(
+    valid, used, wptr, w_enc, dn, dx, en, ex = jax.lax.fori_loop(
         0, k // 4, body, init, unroll=False
     )
     mu_last = ((k // 4 - 1) * params_ref[0]) >> 16
     flush = used > 0
     dev_f = w_enc - mu_last
-    dmin = jnp.minimum(dmin, jnp.where(flush, dev_f, _BIG))
-    dmax = jnp.maximum(dmax, jnp.where(flush, dev_f, -_BIG))
+    en = jnp.minimum(en, jnp.where(flush, dev_f, _BIG))
+    ex = jnp.maximum(ex, jnp.where(flush, dev_f, -_BIG))
     bits_ref[0] = 32 * w_enc + used
-    dmin_ref[0] = dmin
-    dmax_ref[0] = dmax
+    dnmin_ref[0] = dn
+    dnmax_ref[0] = dx
+    enmin_ref[0] = en
+    enmax_ref[0] = ex
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
     """Schedule pass over (n_tiles*k//4, 8, 128) int32 data.
 
-    params: (2,) int32 [snum, unused].  Returns (bits, dev_min, dev_max),
-    each (n_tiles, 8, 128) int32 (per-stream).
+    params: (2,) int32 [snum, unused].  Returns (bits, dec_min, dec_max,
+    enc_min, enc_max), each (n_tiles, 8, 128) int32 (per-stream): total bits
+    and the refill/emission deviation envelopes relative to mu_i.
     """
     n_tiles = data_i32.shape[0] // (k // 4)
     kern = functools.partial(_lengths_kernel, k=k)
@@ -199,14 +205,14 @@ def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
             pl.BlockSpec(
                 (1, SUBLANES, LANES), lambda t, p: (t, 0, 0), memory_space=pltpu.VMEM
             )
-            for _ in range(3)
+            for _ in range(5)
         ],
     )
     out_sd = jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[out_sd, out_sd, out_sd],
+        out_shape=[out_sd] * 5,
         interpret=interpret,
     )(params, enc.lo, enc.hi, data_i32)
 
@@ -215,8 +221,9 @@ def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
 # Pass B: bit packing
 # ----------------------------------------------------------------------
 def _pack_kernel(
-    params_ref, lo_tab, hi_tab, data_ref, out_ref, *, k, w_cap, w_band
+    params_ref, boffs_ref, lo_tab, hi_tab, data_ref, out_ref, *, k, w_cap, w_band
 ):
+    boff = boffs_ref[pl.program_id(0)]
     shape = (SUBLANES, LANES)
     u32 = jnp.uint32
     out_ref[:] = jnp.zeros((w_cap, SUBLANES, LANES), jnp.int32)
@@ -254,7 +261,7 @@ def _pack_kernel(
     def body(i, carry):
         hi, lo, used, w_enc = carry
         w = data_ref[i]
-        base = _mu_base(i, params_ref, w_cap, w_band)
+        base = _mu_base(i, params_ref[0], boff, w_cap, w_band)
         for j in (0, 1):
             sym = (w >> (8 * j)) & 255
             hi, lo, used = insert(hi, lo, used, _lane_lookup(lo_tab[:], hi_tab[:], sym))
@@ -272,31 +279,33 @@ def _pack_kernel(
         jnp.zeros(shape, jnp.int32),
     )
     hi, lo, used, w_enc = jax.lax.fori_loop(0, k // 4, body, init, unroll=False)
-    base = _mu_base(k // 4 - 1, params_ref, w_cap, w_band)
+    base = _mu_base(k // 4 - 1, params_ref[0], boff, w_cap, w_band)
     flush_word(hi, used > 0, w_enc, base)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w_cap", "w_band", "interpret"))
-def ils_pack(data_i32, params, enc: IlsEncTabs, *, k, w_cap, w_band, interpret=False):
+def ils_pack(data_i32, params, boffs, enc: IlsEncTabs, *, k, w_cap, w_band,
+             interpret=False):
     """Pack pass: returns per-tile padded payload (n_tiles*w_cap, 8, 128) i32.
 
-    Rows [t*w_cap + W_t, (t+1)*w_cap) are zero padding to be dropped by the
+    boffs: (n_tiles,) int32 per-tile emission band offsets.  Rows
+    [t*w_cap + W_t, (t+1)*w_cap) are zero padding to be dropped by the
     caller's compaction (W_t from ils_lengths_pass).
     """
     n_tiles = data_i32.shape[0] // (k // 4)
     kern = functools.partial(_pack_kernel, k=k, w_cap=w_cap, w_band=w_band)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((SUBLANES, LANES), lambda t, p: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda t, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, p, b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (k // 4, SUBLANES, LANES), lambda t, p: (t, 0, 0), memory_space=pltpu.VMEM
+                (k // 4, SUBLANES, LANES), lambda t, p, b: (t, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (w_cap, SUBLANES, LANES), lambda t, p: (t, 0, 0), memory_space=pltpu.VMEM
+            (w_cap, SUBLANES, LANES), lambda t, p, b: (t, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(
@@ -304,7 +313,7 @@ def ils_pack(data_i32, params, enc: IlsEncTabs, *, k, w_cap, w_band, interpret=F
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * w_cap, SUBLANES, LANES), jnp.int32),
         interpret=interpret,
-    )(params, enc.lo, enc.hi, data_i32)
+    )(params, boffs, enc.lo, enc.hi, data_i32)
 
 
 # ----------------------------------------------------------------------
@@ -313,6 +322,7 @@ def ils_pack(data_i32, params, enc: IlsEncTabs, *, k, w_cap, w_band, interpret=F
 def _decode_kernel(
     starts_ref,
     params_ref,
+    boffs_ref,
     lim_ref,
     bias_ref,
     symlo_ref,
@@ -368,9 +378,11 @@ def _decode_kernel(
         wptr = wptr + need.astype(jnp.int32)
         return hi, lo, valid, wptr
 
+    boff = boffs_ref[t]
+
     def body(i, carry):
         hi, lo, valid, wptr = carry
-        base = _mu_base(i, params_ref, w_cap, w_band)
+        base = _mu_base(i, params_ref[0], boff, w_cap, w_band)
         window = scratch[pl.ds(base, w_band)]
         hi, lo, valid, s0 = decode_one(hi, lo, valid)
         hi, lo, valid, s1 = decode_one(hi, lo, valid)
@@ -393,6 +405,7 @@ def ils_decode(
     payload_rows,
     row_starts,
     params,
+    boffs,
     dec: IlsDecTabs,
     *,
     k,
@@ -408,7 +421,8 @@ def ils_decode(
       payload_rows: (total_rows + >=w_cap slack, 8, 128) int32 interleaved
         payload rows.
       row_starts: (n_tiles,) int32 payload row offset per tile.
-      params: (2,) int32 [snum, boff].
+      params: (2,) int32 [snum, 0].
+      boffs: (n_tiles,) int32 per-tile decode band offsets.
 
     Returns (n_tiles * k//4, 8, 128) int32 — the original u32 data.
     """
@@ -416,17 +430,17 @@ def ils_decode(
         _decode_kernel, k=k, w_cap=w_cap, w_band=w_band, max_len=max_len
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 32), lambda t, s, p: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda t, s, p: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda t, s, p: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda t, s, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda t, s, p, b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, s, p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, s, p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, s, p, b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (k // 4, SUBLANES, LANES), lambda t, s, p: (t, 0, 0), memory_space=pltpu.VMEM
+            (k // 4, SUBLANES, LANES), lambda t, s, p, b: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((w_cap, SUBLANES, LANES), jnp.int32),
@@ -440,4 +454,5 @@ def ils_decode(
             (n_tiles * (k // 4), SUBLANES, LANES), jnp.int32
         ),
         interpret=interpret,
-    )(row_starts, params, dec.lim, dec.bias, dec.sym_lo, dec.sym_hi, payload_rows)
+    )(row_starts, params, boffs, dec.lim, dec.bias, dec.sym_lo, dec.sym_hi,
+      payload_rows)

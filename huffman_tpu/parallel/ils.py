@@ -87,23 +87,25 @@ def make_ils_sharded_decode(
 ):
     """Jitted sharded ILS decode.
 
-    Returns fn(payload_dev, starts_dev, params, dec) -> (D*T/D*k//4, 8, 128)
-    int32 sharded over the leading axis — reshape(-1) is the original u32
-    stream in order.
+    Returns fn(payload_dev, starts_dev, params, boffs_dev, dec) ->
+    (D*T/D*k//4, 8, 128) int32 sharded over the leading axis — reshape(-1)
+    is the original u32 stream in order.
     """
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, None, None, None), P(DATA_AXIS, None), P(), P()),
+        in_specs=(P(DATA_AXIS, None, None, None), P(DATA_AXIS, None), P(),
+                  P(DATA_AXIS, None), P()),
         out_specs=P(DATA_AXIS, None, None),
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )
-    def dec_fn(payload_dev, starts_dev, params, dec):
+    def dec_fn(payload_dev, starts_dev, params, boffs_dev, dec):
         out = ils_decode(
             payload_dev[0],
             starts_dev[0],
             params,
+            boffs_dev[0],
             dec,
             k=k,
             w_cap=w_cap,
@@ -114,9 +116,9 @@ def make_ils_sharded_decode(
         )
         return out[None]
 
-    def fn(payload_dev, starts_dev, params, dec):
+    def fn(payload_dev, starts_dev, params, boffs_dev, dec):
         d, t = payload_dev.shape[0], tiles_per_device
-        out = dec_fn(payload_dev, starts_dev, params, dec)
+        out = dec_fn(payload_dev, starts_dev, params, boffs_dev, dec)
         return out.reshape(d * t * (k // 4), 8, 128)
 
     return jax.jit(dec_fn), fn
@@ -149,15 +151,16 @@ def make_ils_sharded_roundtrip(
     )
     def step(data_dev, enc, dec):
         local = data_dev[0]
+        boffs = jnp.zeros(tiles_per_device, jnp.int32)
         payload = ils_pack(
-            local, params, enc, k=k, w_cap=w_cap, w_band=w_cap,
+            local, params, boffs, enc, k=k, w_cap=w_cap, w_band=w_cap,
             interpret=interpret,
         )
         starts = jnp.arange(tiles_per_device, dtype=jnp.int32) * w_cap
         slack = jnp.zeros((w_cap, 8, 128), jnp.int32)
         rows = jnp.concatenate([payload, slack], axis=0)
         out = ils_decode(
-            rows, starts, params, dec, k=k, w_cap=w_cap, w_band=w_cap,
+            rows, starts, params, boffs, dec, k=k, w_cap=w_cap, w_band=w_cap,
             max_len=max_len, n_tiles=tiles_per_device, interpret=interpret,
         )
         ok_local = jnp.all(out == local).astype(jnp.int32)

@@ -71,7 +71,7 @@ def test_kernels_match_oracle(r):
     payload_np, params_np = ils_encode_np(data, table, k)
     sec = ils_encode_device(data, table, enc, k=k, avg_bits=avg, interpret=True)
     assert sec.params.snum == params_np.snum
-    assert sec.params.boff == params_np.boff
+    assert np.array_equal(sec.params.boffs, params_np.boffs)
     assert sec.params.w_band == params_np.w_band
     assert np.array_equal(sec.params.w_tiles, params_np.w_tiles)
     assert np.array_equal(sec.payload, payload_np)
@@ -86,9 +86,12 @@ def test_schedule_simulation_envelope():
     data = np.full(k * ILS_LANES, 7, np.uint8)
     table = _fit(data)
     lens = table.lengths[ils_stream_symbols(data, k)].astype(np.int64)
-    bits, dmin, dmax = ils_simulate_schedule(lens, 65536 // 8)  # 1 bit/sym
+    bits, dec_min, dec_max, enc_min, enc_max = ils_simulate_schedule(
+        lens, 65536 // 8
+    )  # 1 bit/sym
     assert np.all(bits == k * int(table.lengths[7]))
-    assert dmax - dmin <= 4
+    assert int((dec_max - dec_min).max()) <= 4
+    assert int((enc_max - enc_min).max()) <= 4
 
 
 @pytest.mark.parametrize("n_extra", [0, 1, 4095, 4096, 70000])

@@ -69,9 +69,12 @@ def test_ils_sharded_decode_matches_codec():
         tiles_per_device=tpd,
         interpret=True,
     )
-    params = jnp.asarray(np.array([p.snum, p.boff], np.int32))
+    params = jnp.asarray(np.array([p.snum, 0], np.int32))
+    tpd_ = p.n_tiles // n_devices
+    boffs_dev = jnp.asarray(p.boffs.reshape(n_devices, tpd_))
     out = dec_fn(
-        jnp.asarray(payload_dev), jnp.asarray(starts_dev), params, codec.dec
+        jnp.asarray(payload_dev), jnp.asarray(starts_dev), params, boffs_dev,
+        codec.dec,
     )
     got = np.asarray(out).reshape(-1, 8, 128).view(np.uint32).reshape(-1)
     assert np.array_equal(got.view(np.uint8), data)
