@@ -61,11 +61,17 @@ class IlsCodec:
     """
 
     def __init__(self, table: CodeTable, *, k: int | None = None,
-                 interpret: bool = False):
+                 interpret: bool | None = None):
+        import jax
+
         self.table = table
         self.enc = ils_enc_tabs(table)
         self.dec = ils_dec_tabs(table)
-        self.interpret = interpret
+        # Pallas compiles only on TPU; anywhere else run the kernels in
+        # interpreter mode so the codec works on CPU-only hosts.
+        self.interpret = (
+            jax.default_backend() != "tpu" if interpret is None else interpret
+        )
         self.k = int(k) if k else pick_k(8.0)
 
     # ------------------------------------------------------------------
@@ -76,7 +82,7 @@ class IlsCodec:
         *,
         max_len: int = MAX_CODEWORD_LENGTH,
         k: int | None = None,
-        interpret: bool = False,
+        interpret: bool | None = None,
     ) -> "IlsCodec":
         data = np.asarray(data, np.uint8)
         freqs = npref.histogram(data)

@@ -55,8 +55,10 @@ def init_multihost(
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
-    in_tpu_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES"))
-    if coordinator_address is None and not in_tpu_pod:
+    workers = [
+        w for w in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if w
+    ]
+    if coordinator_address is None and len(workers) < 2:
         return  # single-host
     kwargs = {}
     if coordinator_address is not None:
