@@ -27,7 +27,13 @@ from ..core import npref
 from ..core.canonical import CodeTable, canonical_code_table
 from ..core.ils_ref import ILS_LANES
 from ..core.package_merge import package_merge_lengths
-from ..ops.ils import IlsSection, ils_decode_device, ils_encode_device, pick_k
+from ..ops.ils import (
+    IlsSection,
+    IlsVmemError,
+    ils_decode_device,
+    ils_encode_device,
+    pick_k,
+)
 from ..ops.pallas.ils_kernels import ils_dec_tabs, ils_enc_tabs
 
 __all__ = ["IlsCompressed", "IlsCodec"]
@@ -104,18 +110,31 @@ class IlsCodec:
         )
 
     def encode(self, data: np.ndarray) -> IlsCompressed:
+        # A file whose longest stream far exceeds the table's mean code
+        # length can blow the VMEM tile budget at the chosen k; halve k and
+        # re-chunk until it fits (k=2048 always fits: max stream rows 1024).
+        k = self.k
+        while True:
+            try:
+                return self._encode_with_k(data, k)
+            except IlsVmemError:
+                if k <= 2048:
+                    raise
+                k //= 2
+
+    def _encode_with_k(self, data: np.ndarray, k_main: int) -> IlsCompressed:
         data = np.asarray(data, np.uint8)
         n = data.size
         comp = IlsCompressed(table=self.table, original_size=n, sections=[])
         if n == 0:
             return comp
 
-        tile_bytes = self.k * ILS_LANES
+        tile_bytes = k_main * ILS_LANES
         n_full = n // tile_bytes
         sections = []
         if n_full:
             main = data[: n_full * tile_bytes]
-            sections.append((main, self.k))
+            sections.append((main, k_main))
         rem = n - n_full * tile_bytes
         if rem:
             k_tail = max(-(-rem // (4 * ILS_LANES)) * 4, 8)

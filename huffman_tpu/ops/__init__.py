@@ -9,6 +9,13 @@ from .tables import (
 from .encode import encode_block, histogram
 from .decode import decode_block, count_segments
 from .bitops import extract_window32
+from .ils import (
+    IlsSection,
+    ils_decode_device,
+    ils_encode_device,
+    ils_encode_to_device,
+    pick_k,
+)
 
 __all__ = [
     "DeviceEncTable",
@@ -22,4 +29,9 @@ __all__ = [
     "decode_block",
     "count_segments",
     "extract_window32",
+    "IlsSection",
+    "ils_decode_device",
+    "ils_encode_device",
+    "ils_encode_to_device",
+    "pick_k",
 ]

@@ -35,6 +35,7 @@ from .pallas.ils_kernels import (
 
 __all__ = [
     "IlsSection",
+    "IlsVmemError",
     "ils_encode_device",
     "ils_decode_device",
     "round_band",
@@ -47,9 +48,14 @@ _CAP_BUCKETS = (
     1024, 1280, 1536, 1792, 2048,
 )
 
-# VMEM row budget per tile: input/output block (k/4 rows) + payload scratch
-# (w_cap rows) must fit comfortably inside the ~16 MB/core VMEM (4 KB/row).
-VMEM_ROW_BUDGET = 2300
+# VMEM row budget per tile: the pipelined kernels double-buffer the data
+# block (k/4 rows) and payload block/scratch (w_cap rows), so
+# (k/4 + w_cap) * 2 * 4 KB must stay under the ~16 MB/core VMEM.
+VMEM_ROW_BUDGET = 1950
+
+
+class IlsVmemError(ValueError):
+    """Tile shape would exceed the VMEM budget; retry with a smaller k."""
 
 
 def pick_k(avg_bits: float, max_k: int = 16384) -> int:
@@ -62,7 +68,7 @@ def pick_k(avg_bits: float, max_k: int = 16384) -> int:
     for k in (2048, 4096, 8192, 16384):
         if k > max_k:
             break
-        w_est = round_cap(int(k * max(avg_bits, 1.0) / 32 * 1.25) + 8)
+        w_est = round_cap(int(k * max(avg_bits, 1.0) / 32 * 1.10) + 8)
         if k // 4 + w_est <= VMEM_ROW_BUDGET:
             best = k
     return best
@@ -152,6 +158,11 @@ def ils_encode_to_device(
     enc_max = np.asarray(jnp.max(enc_max, axis=(1, 2)))
 
     w_cap = round_cap(int(w_tiles.max()))
+    if k // 4 + w_cap > VMEM_ROW_BUDGET and k > 2048:
+        raise IlsVmemError(
+            f"k={k} with w_cap={w_cap} exceeds the VMEM row budget; "
+            "re-encode with a smaller k"
+        )
     dec_span = int(np.maximum(dec_max - dec_min, 0).max(initial=0))
     enc_span = int(np.maximum(enc_max - enc_min, 0).max(initial=0))
     w_band = min(round_band(dec_span + 2), w_cap)
