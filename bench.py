@@ -37,16 +37,19 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_chained(make_fn, r1, r2):
-    """Median-of-3 amortized seconds per op: run make_fn(R)() for two Rs."""
+def measure_chained(make_fn, r1, r2, *args):
+    """Amortized seconds per op: run make_fn(R)(*args) for two Rs and
+    difference.  Large buffers must be passed via *args, not closures —
+    closed-over arrays embed as HLO constants and blow the remote-compile
+    request limit at GB scale."""
     ts = {}
     for R in (r1, r2):
         f = make_fn(R)
-        np.asarray(f())  # compile + hard sync
+        np.asarray(f(*args))  # compile + hard sync
         best = []
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(f())
+            np.asarray(f(*args))
             best.append(time.perf_counter() - t0)
         ts[R] = min(best)
     return max((ts[r2] - ts[r1]) / (r2 - r1), 1e-9)
@@ -122,7 +125,7 @@ def main():
 
     def mk_decode(R):
         @jax.jit
-        def f():
+        def f(payload0):
             def body(i, carry):
                 acc, pr = carry
                 pr = pr.at[0, 0, 0].set(pr[0, 0, 0] ^ 1)
@@ -131,13 +134,13 @@ def main():
                                n_tiles=p.n_tiles)
                 return acc ^ o[0, 0, :8], pr
             acc, _ = jax.lax.fori_loop(
-                0, R, body, (jnp.zeros(8, jnp.int32), payload_rows))
+                0, R, body, (jnp.zeros(8, jnp.int32), payload0))
             return acc
         return f
 
     def mk_encode(R):
         @jax.jit
-        def f():
+        def f(data0):
             def body(i, carry):
                 acc, d = carry
                 d = d.at[0, 0, 0].set(d[0, 0, 0] ^ 1)
@@ -146,15 +149,17 @@ def main():
                                    w_band=p.w_band)
                 return acc ^ payload[0, 0, :8] ^ bits[0, 0, :8], d
             acc, _ = jax.lax.fori_loop(
-                0, R, body, (jnp.zeros(8, jnp.int32), data_i32))
+                0, R, body, (jnp.zeros(8, jnp.int32), data0))
             return acc
         return f
 
     main_bytes = p.n_tiles * p.k * ILS_LANES
-    t_dec = measure_chained(mk_decode, max(args.reps // 4, 1), args.reps)
+    t_dec = measure_chained(mk_decode, max(args.reps // 4, 1), args.reps,
+                            payload_rows)
     dec_gbps = main_bytes / t_dec / 1e9
     log(f"decode: {dec_gbps:.3f} GB/s ({t_dec * 1e3:.2f} ms / {main_bytes} B)")
-    t_enc = measure_chained(mk_encode, max(args.reps // 4, 1), args.reps)
+    t_enc = measure_chained(mk_encode, max(args.reps // 4, 1), args.reps,
+                            data_i32)
     enc_gbps = main_bytes / t_enc / 1e9
     log(f"encode (certify+pack kernels): {enc_gbps:.3f} GB/s ({t_enc * 1e3:.2f} ms)")
     log(f"vs sequential.cpp decode baseline ({BASELINE_DECODE_GBPS:.5f} GB/s): "

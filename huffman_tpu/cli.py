@@ -35,7 +35,7 @@ def _add_codec_args(p):
         help="ILS symbols per stream (default: auto from mean code length)",
     )
     p.add_argument(
-        "--method", choices=["lut", "canonical"], default="lut",
+        "--method", choices=["lut", "canonical", "pallas"], default="lut",
         help="htc1 decode inner-step implementation",
     )
 
@@ -232,7 +232,7 @@ def main(argv=None):
     p = sub.add_parser("decode", help="decompress a container (auto-detects ILS1/HTC1)")
     p.add_argument("input")
     p.add_argument("-o", "--output", required=True)
-    p.add_argument("--method", choices=["lut", "canonical"], default="lut")
+    p.add_argument("--method", choices=["lut", "canonical", "pallas"], default="lut")
     p.add_argument(
         "--format", choices=["auto", "yamamoto", "seq"], default="auto",
         help="force a reference format (these have no magic bytes)",

@@ -59,3 +59,14 @@ def test_compression_beats_raw_and_overhead_is_small():
     # metadata overhead below the reference's 3.125% gap-array overhead
     assert overhead / (payload_bits / 8) < 0.0313
     assert len(blob) < data.size
+
+
+def test_gap_codec_pallas_method():
+    from huffman_tpu.models import GapArrayCodec
+    from huffman_tpu.utils import generate_redundant
+
+    data = generate_redundant(300_000, 0.5, seed=30)
+    codec = GapArrayCodec.fit(data, block_bytes=1 << 17, method="pallas")
+    comp = codec.encode(data)
+    out = codec.decode(comp)
+    assert np.array_equal(out, data)
