@@ -107,13 +107,14 @@ def main():
     params = jnp.asarray(np.array([p.snum, 0], np.int32))
     boffs = jnp.asarray(p.boffs, jnp.int32)
     maxlen = max(codec.table.max_len_present, 1)
+    minlen = max(codec.table.min_len, 1)
     dec, enc = codec.dec, codec.enc
 
     @jax.jit
     def verify(payload_rows, row_starts, params, data_i32):
         out = ils_decode(payload_rows, row_starts, params, boffs, dec, k=p.k,
                          w_cap=p.w_cap, w_band=p.w_band, max_len=maxlen,
-                         n_tiles=p.n_tiles)
+                         min_len=minlen, n_tiles=p.n_tiles)
         return jnp.all(out == data_i32)
 
     ok = bool(verify(payload_rows, row_starts, params, data_i32))
@@ -131,7 +132,7 @@ def main():
                 pr = pr.at[0, 0, 0].set(pr[0, 0, 0] ^ 1)
                 o = ils_decode(pr, row_starts, params, boffs, dec, k=p.k,
                                w_cap=p.w_cap, w_band=p.w_band, max_len=maxlen,
-                               n_tiles=p.n_tiles)
+                               min_len=minlen, n_tiles=p.n_tiles)
                 return acc ^ o[0, 0, :8], pr
             acc, _ = jax.lax.fori_loop(
                 0, R, body, (jnp.zeros(8, jnp.int32), payload0))

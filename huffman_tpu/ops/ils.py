@@ -243,6 +243,7 @@ def ils_decode_device(
         w_cap=p.w_cap,
         w_band=p.w_band,
         max_len=max(table.max_len_present, 1),
+        min_len=max(table.min_len, 1),
         n_tiles=p.n_tiles,
         interpret=interpret,
     )

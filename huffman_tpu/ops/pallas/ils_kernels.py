@@ -336,6 +336,7 @@ def _decode_kernel(
     w_cap,
     w_band,
     max_len,
+    min_len,
 ):
     t = pl.program_id(0)
     dma = pltpu.make_async_copy(
@@ -353,8 +354,10 @@ def _decode_kernel(
 
     def decode_one(hi, lo, valid):
         win = hi
-        ln = jnp.ones(shape, jnp.int32)
-        for l in range(1, max_len):
+        # levels below min_len are empty: their limits are 0, so those
+        # compares are always true — start the chain at min_len instead
+        ln = jnp.full(shape, min_len, jnp.int32)
+        for l in range(min_len, max_len):
             ln = ln + (win >= lim_ref[0, l]).astype(jnp.int32)
         lns = ln.astype(u32)
         value = (win >> (u32(32) - lns)).astype(jnp.int32)
@@ -399,7 +402,10 @@ def _decode_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "w_cap", "w_band", "max_len", "n_tiles", "interpret")
+    jax.jit,
+    static_argnames=(
+        "k", "w_cap", "w_band", "max_len", "min_len", "n_tiles", "interpret"
+    ),
 )
 def ils_decode(
     payload_rows,
@@ -413,6 +419,7 @@ def ils_decode(
     w_band,
     max_len,
     n_tiles,
+    min_len=1,
     interpret=False,
 ):
     """Decode n_tiles tiles.
@@ -427,7 +434,8 @@ def ils_decode(
     Returns (n_tiles * k//4, 8, 128) int32 — the original u32 data.
     """
     kern = functools.partial(
-        _decode_kernel, k=k, w_cap=w_cap, w_band=w_band, max_len=max_len
+        _decode_kernel, k=k, w_cap=w_cap, w_band=w_band, max_len=max_len,
+        min_len=max(min(min_len, max_len), 1),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
