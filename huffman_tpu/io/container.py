@@ -48,7 +48,7 @@ MAGIC = b"HTC1"
 ILS_MAGIC = b"ILS1"
 _HEADER = struct.Struct("<4sBBBBH")
 _SIZES = struct.Struct("<QII")
-_ILS_HEADER = struct.Struct("<4sBBHQB")
+_ILS_HEADER = struct.Struct("<4sBBHQBI")  # trailing u32: crc32 of payloads
 _ILS_SECTION = struct.Struct("<IIiIII")
 
 
@@ -169,6 +169,15 @@ def read_container(buf: bytes) -> Compressed:
 # count, certified and measured by the encoder (core/ils_ref.py).
 
 
+def _ils_crc(comp) -> int:
+    import zlib
+
+    crc = zlib.crc32(str(comp.original_size).encode())
+    for sec in comp.sections:
+        crc = zlib.crc32(np.ascontiguousarray(sec.payload, np.uint32), crc)
+    return crc & 0xFFFFFFFF
+
+
 def ils_container_size(comp) -> int:
     size = _ILS_HEADER.size + 2 * comp.table.num_symbols
     for sec in comp.sections:
@@ -188,6 +197,7 @@ def write_ils_container(comp) -> bytes:
             comp.table.num_symbols,
             comp.original_size,
             len(comp.sections),
+            _ils_crc(comp),
         ),
         _table_entries(comp.table).tobytes(),
     ]
@@ -210,9 +220,8 @@ def read_ils_container(buf: bytes):
     mv = memoryview(buf)
     if len(buf) < _ILS_HEADER.size or bytes(mv[:4]) != ILS_MAGIC:
         raise ValueError("not an ILS1 container (bad magic)")
-    _, version, max_len, n_sym, original_size, n_sections = _ILS_HEADER.unpack_from(
-        mv, 0
-    )
+    (_, version, max_len, n_sym, original_size, n_sections,
+     crc_stored) = _ILS_HEADER.unpack_from(mv, 0)
     if version != 1:
         raise ValueError(f"unsupported ILS container version {version}")
     off = _ILS_HEADER.size
@@ -254,6 +263,9 @@ def read_ils_container(buf: bytes):
         sections.append(IlsSection(params=params, payload=payload))
     if off != len(buf):
         raise ValueError(f"container has {len(buf) - off} trailing bytes")
-    return IlsCompressed(
+    comp = IlsCompressed(
         table=table, original_size=int(original_size), sections=sections
     )
+    if _ils_crc(comp) != crc_stored:
+        raise ValueError("ILS1 container payload checksum mismatch")
+    return comp

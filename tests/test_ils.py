@@ -131,3 +131,13 @@ def test_container_rejects_garbage():
         read_ils_container(b"NOPE" + b"\x00" * 64)
     with pytest.raises(ValueError):
         container_kind(b"ZZZZ")
+
+
+def test_container_detects_corruption():
+    k = 8
+    data = generate_redundant(k * ILS_LANES, 0.5, seed=9)
+    codec = IlsCodec.fit(data, k=k, interpret=True)
+    blob = bytearray(write_ils_container(codec.encode(data)))
+    blob[-5] ^= 0x40  # flip a payload bit
+    with pytest.raises(ValueError, match="checksum"):
+        read_ils_container(bytes(blob))
