@@ -38,7 +38,6 @@ from ..ops.pallas.ils_kernels import ils_dec_tabs, ils_enc_tabs
 
 __all__ = ["IlsCompressed", "IlsCodec"]
 
-_TILE_U32 = ILS_LANES  # u32 words per symbol row
 
 
 @dataclasses.dataclass

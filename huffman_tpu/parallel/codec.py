@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .mesh import DATA_AXIS, Mesh, P
-from ..ops import DecSpec, DeviceDecTable, DeviceEncTable
+from ..ops import DecSpec
 from ..ops.decode import decode_block
 from ..ops.encode import encode_block, histogram
 

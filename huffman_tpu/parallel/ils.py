@@ -26,12 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mesh import DATA_AXIS, Mesh, P
-from ..ops.pallas.ils_kernels import (
-    IlsDecTabs,
-    IlsEncTabs,
-    ils_decode,
-    ils_pack,
-)
+from ..ops.pallas.ils_kernels import ils_decode, ils_pack
 
 __all__ = [
     "shard_ils_payload",

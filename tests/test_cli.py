@@ -1,6 +1,5 @@
 """CLI end-to-end tests (in-process, CPU backend from conftest)."""
 
-import numpy as np
 import pytest
 
 from huffman_tpu.cli import main
