@@ -60,6 +60,7 @@ def main():
     ap.add_argument("--size", type=int, default=1 << 28)  # 256 MiB
     ap.add_argument("--redundancy", type=float, default=0.5)
     ap.add_argument("--k", type=int, default=None)
+    ap.add_argument("--optimize", choices=["speed", "ratio"], default="speed")
     ap.add_argument("--reps", type=int, default=8)
     args = ap.parse_args()
 
@@ -78,7 +79,8 @@ def main():
 
     log(f"devices: {jax.devices()}")
     codec0 = IlsCodec.fit(
-        generate_redundant(1 << 20, args.redundancy, seed=0), k=args.k
+        generate_redundant(1 << 20, args.redundancy, seed=0), k=args.k,
+        optimize=args.optimize,
     )
     k = codec0.k
     tile_bytes = k * ILS_LANES

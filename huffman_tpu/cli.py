@@ -35,6 +35,10 @@ def _add_codec_args(p):
         help="ILS symbols per stream (default: auto from mean code length)",
     )
     p.add_argument(
+        "--optimize", choices=["speed", "ratio"], default="speed",
+        help="ILS k policy: narrow refill band (speed) or minimal padding (ratio)",
+    )
+    p.add_argument(
         "--method", choices=["lut", "canonical", "pallas"], default="lut",
         help="htc1 decode inner-step implementation",
     )
@@ -76,7 +80,10 @@ def _make_codec(args, data):
     if args.format == "ils":
         from .models import IlsCodec
 
-        return IlsCodec.fit(data, max_len=args.max_len, k=args.k)
+        return IlsCodec.fit(
+            data, max_len=args.max_len, k=args.k,
+            optimize=getattr(args, "optimize", "speed"),
+        )
     from .models import GapArrayCodec
 
     return GapArrayCodec.fit(data, **_codec_kwargs(args))

@@ -66,7 +66,7 @@ class IlsCodec:
     """
 
     def __init__(self, table: CodeTable, *, k: int | None = None,
-                 interpret: bool | None = None):
+                 optimize: str = "speed", interpret: bool | None = None):
         import jax
 
         self.table = table
@@ -77,7 +77,7 @@ class IlsCodec:
         self.interpret = (
             jax.default_backend() != "tpu" if interpret is None else interpret
         )
-        self.k = int(k) if k else pick_k(8.0)
+        self.k = int(k) if k else pick_k(8.0, optimize)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -87,6 +87,7 @@ class IlsCodec:
         *,
         max_len: int = MAX_CODEWORD_LENGTH,
         k: int | None = None,
+        optimize: str = "speed",
         interpret: bool | None = None,
     ) -> "IlsCodec":
         data = np.asarray(data, np.uint8)
@@ -98,7 +99,7 @@ class IlsCodec:
             avg = float(
                 (freqs * table.lengths.astype(np.int64)).sum() / max(freqs.sum(), 1)
             )
-            k = pick_k(avg)
+            k = pick_k(avg, optimize)
         return cls(table, k=k, interpret=interpret)
 
     # ------------------------------------------------------------------

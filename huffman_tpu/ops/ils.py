@@ -48,28 +48,32 @@ _CAP_BUCKETS = (
     1024, 1280, 1536, 1792, 2048,
 )
 
-# VMEM row budget per tile: the pipelined kernels double-buffer the data
-# block (k/4 rows) and payload block/scratch (w_cap rows), so
-# (k/4 + w_cap) * 2 * 4 KB must stay under the ~16 MB/core VMEM.
-VMEM_ROW_BUDGET = 1950
+# VMEM row budget per tile: the kernels chunk the data/output blocks over a
+# second grid dimension (CHUNK_I rows, double-buffered ~8 MB) and keep the
+# whole-tile payload in single-buffered scratch (w_cap rows, 4 KB each,
+# DMA'd to/from HBM), so w_cap alone must fit the remaining ~11.5 MB.
+VMEM_ROW_BUDGET = 2800
 
 
 class IlsVmemError(ValueError):
     """Tile shape would exceed the VMEM budget; retry with a smaller k."""
 
 
-def pick_k(avg_bits: float, max_k: int = 16384) -> int:
-    """Largest k (symbols per stream) whose tile fits the VMEM budget.
+def pick_k(avg_bits: float, optimize: str = "speed") -> int:
+    """Choose k (symbols per stream) for the table's mean code length.
 
-    Larger k amortizes per-stream padding (the ILS analog of gap-array
-    metadata overhead) — worth it for short codes / low entropy.
+    Larger k amortizes per-stream padding (ratio improves ~1/sqrt(k)) but
+    widens the refill band (~sqrt(k)), slowing decode.  ``optimize="speed"``
+    caps k at 4096 (band stays narrow); ``optimize="ratio"`` uses the
+    largest k whose payload scratch fits VMEM.
     """
+    max_k = 4096 if optimize == "speed" else 16384
     best = 2048
     for k in (2048, 4096, 8192, 16384):
         if k > max_k:
             break
         w_est = round_cap(int(k * max(avg_bits, 1.0) / 32 * 1.10) + 8)
-        if k // 4 + w_est <= VMEM_ROW_BUDGET:
+        if w_est <= VMEM_ROW_BUDGET:
             best = k
     return best
 
@@ -158,7 +162,7 @@ def ils_encode_to_device(
     enc_max = np.asarray(jnp.max(enc_max, axis=(1, 2)))
 
     w_cap = round_cap(int(w_tiles.max()))
-    if k // 4 + w_cap > VMEM_ROW_BUDGET and k > 2048:
+    if w_cap > VMEM_ROW_BUDGET and k > 2048:
         raise IlsVmemError(
             f"k={k} with w_cap={w_cap} exceeds the VMEM row budget; "
             "re-encode with a smaller k"

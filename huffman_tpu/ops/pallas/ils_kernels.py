@@ -54,7 +54,22 @@ LANES = 128
 SUBLANES = 8
 TILE_LANES = SUBLANES * LANES  # 1024 streams per tile
 
+# Body iterations (of 4 symbols) per grid chunk: the per-chunk data/output
+# block is CHUNK_I rows (2 MB), so VMEM no longer bounds k — tiles iterate a
+# second grid dimension with decode/pack state carried in scratch across
+# chunks (grid steps run sequentially per core; scratch persists).
+CHUNK_I = 512
+
 _BIG = np.int32(1 << 30)
+
+
+def _n_chunks(k):
+    assert (k // 4) % min(k // 4, CHUNK_I) == 0
+    return max((k // 4) // CHUNK_I, 1)
+
+
+def _chunk_iters(k):
+    return min(k // 4, CHUNK_I)
 
 
 # ----------------------------------------------------------------------
@@ -123,9 +138,23 @@ def _mu_base(i, snum, boff, w_cap, w_band):
 # ----------------------------------------------------------------------
 def _lengths_kernel(
     params_ref, lenlo_ref, lenhi_ref, data_ref,
-    bits_ref, dnmin_ref, dnmax_ref, enmin_ref, enmax_ref, *, k
+    bits_ref, dnmin_ref, dnmax_ref, enmin_ref, enmax_ref, carry, *, k
 ):
     shape = (SUBLANES, LANES)
+    c_idx = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    iters = _chunk_iters(k)
+
+    @pl.when(c_idx == 0)
+    def _init():
+        carry[0] = jnp.full(shape, 64, jnp.int32)   # valid
+        carry[1] = jnp.zeros(shape, jnp.int32)      # used
+        carry[2] = jnp.full(shape, 2, jnp.int32)    # wptr
+        carry[3] = jnp.zeros(shape, jnp.int32)      # w_enc
+        carry[4] = jnp.full(shape, _BIG, jnp.int32)
+        carry[5] = jnp.full(shape, -_BIG, jnp.int32)
+        carry[6] = jnp.full(shape, _BIG, jnp.int32)
+        carry[7] = jnp.full(shape, -_BIG, jnp.int32)
 
     def half(w, mu, j0, valid, used, wptr, w_enc, dn, dx, en, ex):
         l_sum = jnp.zeros(shape, jnp.int32)
@@ -149,36 +178,31 @@ def _lengths_kernel(
         used = used - jnp.where(emit, 32, 0)
         return valid, used, wptr, w_enc, dn, dx, en, ex
 
-    def body(i, carry):
+    def body(i, st):
         w = data_ref[i]
-        mu = (i * params_ref[0]) >> 16
-        c = half(w, mu, 0, *carry)
-        c = half(w, mu, 2, *c)
-        return c
+        mu = ((c_idx * iters + i) * params_ref[0]) >> 16
+        st = half(w, mu, 0, *st)
+        st = half(w, mu, 2, *st)
+        return st
 
-    init = (
-        jnp.full(shape, 64, jnp.int32),
-        jnp.zeros(shape, jnp.int32),
-        jnp.full(shape, 2, jnp.int32),
-        jnp.zeros(shape, jnp.int32),
-        jnp.full(shape, _BIG, jnp.int32),
-        jnp.full(shape, -_BIG, jnp.int32),
-        jnp.full(shape, _BIG, jnp.int32),
-        jnp.full(shape, -_BIG, jnp.int32),
-    )
-    valid, used, wptr, w_enc, dn, dx, en, ex = jax.lax.fori_loop(
-        0, k // 4, body, init, unroll=False
-    )
-    mu_last = ((k // 4 - 1) * params_ref[0]) >> 16
-    flush = used > 0
-    dev_f = w_enc - mu_last
-    en = jnp.minimum(en, jnp.where(flush, dev_f, _BIG))
-    ex = jnp.maximum(ex, jnp.where(flush, dev_f, -_BIG))
-    bits_ref[0] = 32 * w_enc + used
-    dnmin_ref[0] = dn
-    dnmax_ref[0] = dx
-    enmin_ref[0] = en
-    enmax_ref[0] = ex
+    state = tuple(carry[j] for j in range(8))
+    state = jax.lax.fori_loop(0, iters, body, state, unroll=False)
+    for j in range(8):
+        carry[j] = state[j]
+
+    @pl.when(c_idx == n_chunks - 1)
+    def _fini():
+        valid, used, wptr, w_enc, dn, dx, en, ex = state
+        mu_last = ((k // 4 - 1) * params_ref[0]) >> 16
+        flush = used > 0
+        dev_f = w_enc - mu_last
+        en2 = jnp.minimum(en, jnp.where(flush, dev_f, _BIG))
+        ex2 = jnp.maximum(ex, jnp.where(flush, dev_f, -_BIG))
+        bits_ref[0] = 32 * w_enc + used
+        dnmin_ref[0] = dn
+        dnmax_ref[0] = dx
+        enmin_ref[0] = en2
+        enmax_ref[0] = ex2
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -190,23 +214,28 @@ def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
     and the refill/emission deviation envelopes relative to mu_i.
     """
     n_tiles = data_i32.shape[0] // (k // 4)
+    n_chunks = _n_chunks(k)
+    iters = _chunk_iters(k)
     kern = functools.partial(_lengths_kernel, k=k)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((SUBLANES, LANES), lambda t, p: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda t, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, c, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, c, p: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (k // 4, SUBLANES, LANES), lambda t, p: (t, 0, 0), memory_space=pltpu.VMEM
+                (iters, SUBLANES, LANES),
+                lambda t, c, p: (t * n_chunks + c, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, SUBLANES, LANES), lambda t, p: (t, 0, 0), memory_space=pltpu.VMEM
+                (1, SUBLANES, LANES), lambda t, c, p: (t, 0, 0), memory_space=pltpu.VMEM
             )
             for _ in range(5)
         ],
+        scratch_shapes=[pltpu.VMEM((8, SUBLANES, LANES), jnp.int32)],
     )
     out_sd = jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32)
     return pl.pallas_call(
@@ -221,13 +250,25 @@ def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
 # Pass B: bit packing
 # ----------------------------------------------------------------------
 def _pack_kernel(
-    params_ref, boffs_ref, lo_tab, hi_tab, data_ref, out_ref, *, k, w_cap, w_band
+    params_ref, boffs_ref, lo_tab, hi_tab, data_ref, out_ref, pay, carry, sem,
+    *, k, w_cap, w_band
 ):
-    boff = boffs_ref[pl.program_id(0)]
+    t = pl.program_id(0)
+    boff = boffs_ref[t]
+    c_idx = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    iters = _chunk_iters(k)
     shape = (SUBLANES, LANES)
     u32 = jnp.uint32
-    out_ref[:] = jnp.zeros((w_cap, SUBLANES, LANES), jnp.int32)
     iota_band = jax.lax.broadcasted_iota(jnp.int32, (w_band, SUBLANES, LANES), 0)
+
+    @pl.when(c_idx == 0)
+    def _init():
+        pay[:] = jnp.zeros((w_cap, SUBLANES, LANES), jnp.int32)
+        carry[0] = jnp.zeros(shape, jnp.int32)  # hi (bits)
+        carry[1] = jnp.zeros(shape, jnp.int32)  # lo (bits)
+        carry[2] = jnp.zeros(shape, jnp.int32)  # used
+        carry[3] = jnp.zeros(shape, jnp.int32)  # w_enc
 
     def insert(hi, lo, used, entry):
         ln = entry >> 20
@@ -245,9 +286,9 @@ def _pack_kernel(
     def flush_word(hi, need, w_enc, base):
         rel = w_enc - base
         word = jnp.where(need, pltpu.bitcast(hi, jnp.int32), 0)
-        window = out_ref[pl.ds(base, w_band)]
+        window = pay[pl.ds(base, w_band)]
         contrib = jnp.where(iota_band == rel[None], word[None], 0)
-        out_ref[pl.ds(base, w_band)] = window | contrib
+        pay[pl.ds(base, w_band)] = window | contrib
 
     def emit(hi, lo, used, w_enc, base):
         need = used >= 32
@@ -258,10 +299,10 @@ def _pack_kernel(
         w_enc = w_enc + need.astype(jnp.int32)
         return hi, lo, used, w_enc
 
-    def body(i, carry):
-        hi, lo, used, w_enc = carry
+    def body(i, st):
+        hi, lo, used, w_enc = st
         w = data_ref[i]
-        base = _mu_base(i, params_ref[0], boff, w_cap, w_band)
+        base = _mu_base(c_idx * iters + i, params_ref[0], boff, w_cap, w_band)
         for j in (0, 1):
             sym = (w >> (8 * j)) & 255
             hi, lo, used = insert(hi, lo, used, _lane_lookup(lo_tab[:], hi_tab[:], sym))
@@ -272,15 +313,29 @@ def _pack_kernel(
         hi, lo, used, w_enc = emit(hi, lo, used, w_enc, base)
         return hi, lo, used, w_enc
 
-    init = (
-        jnp.zeros(shape, u32),
-        jnp.zeros(shape, u32),
-        jnp.zeros(shape, jnp.int32),
-        jnp.zeros(shape, jnp.int32),
+    state = (
+        pltpu.bitcast(carry[0], u32),
+        pltpu.bitcast(carry[1], u32),
+        carry[2],
+        carry[3],
     )
-    hi, lo, used, w_enc = jax.lax.fori_loop(0, k // 4, body, init, unroll=False)
-    base = _mu_base(k // 4 - 1, params_ref[0], boff, w_cap, w_band)
-    flush_word(hi, used > 0, w_enc, base)
+    hi, lo, used, w_enc = jax.lax.fori_loop(0, iters, body, state, unroll=False)
+    carry[0] = pltpu.bitcast(hi, jnp.int32)
+    carry[1] = pltpu.bitcast(lo, jnp.int32)
+    carry[2] = used
+    carry[3] = w_enc
+
+    @pl.when(c_idx == n_chunks - 1)
+    def _fini():
+        base = _mu_base(k // 4 - 1, params_ref[0], boff, w_cap, w_band)
+        flush_word(hi, used > 0, w_enc, base)
+        # ship the finished tile payload to HBM (the out array lives in ANY
+        # memory so the w_cap buffer is not double-buffered in VMEM)
+        dma = pltpu.make_async_copy(
+            pay, out_ref.at[pl.ds(t * w_cap, w_cap)], sem
+        )
+        dma.start()
+        dma.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w_cap", "w_band", "interpret"))
@@ -293,20 +348,27 @@ def ils_pack(data_i32, params, boffs, enc: IlsEncTabs, *, k, w_cap, w_band,
     caller's compaction (W_t from ils_lengths_pass).
     """
     n_tiles = data_i32.shape[0] // (k // 4)
+    n_chunks = _n_chunks(k)
+    iters = _chunk_iters(k)
     kern = functools.partial(_pack_kernel, k=k, w_cap=w_cap, w_band=w_band)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((SUBLANES, LANES), lambda t, p, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda t, p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, c, p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, c, p, b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (k // 4, SUBLANES, LANES), lambda t, p, b: (t, 0, 0), memory_space=pltpu.VMEM
+                (iters, SUBLANES, LANES),
+                lambda t, c, p, b: (t * n_chunks + c, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (w_cap, SUBLANES, LANES), lambda t, p, b: (t, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((w_cap, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((4, SUBLANES, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
     )
     return pl.pallas_call(
         kern,
@@ -330,6 +392,7 @@ def _decode_kernel(
     payload_ref,
     out_ref,
     scratch,
+    carry,
     sem,
     *,
     k,
@@ -339,18 +402,26 @@ def _decode_kernel(
     min_len,
 ):
     t = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        payload_ref.at[pl.ds(starts_ref[t], w_cap)], scratch, sem
-    )
-    dma.start()
-    dma.wait()
+    c_idx = pl.program_id(1)
+    iters = _chunk_iters(k)
 
     u32 = jnp.uint32
     shape = (SUBLANES, LANES)
     iota_band = jax.lax.broadcasted_iota(jnp.int32, (w_band, SUBLANES, LANES), 0)
 
-    hi0 = pltpu.bitcast(scratch[0], u32)
-    lo0 = pltpu.bitcast(scratch[1], u32)
+    @pl.when(c_idx == 0)
+    def _load():
+        dma = pltpu.make_async_copy(
+            payload_ref.at[pl.ds(starts_ref[t], w_cap)], scratch, sem
+        )
+        dma.start()
+        dma.wait()
+        carry[0] = scratch[0]  # hi
+        carry[1] = scratch[1]  # lo
+        carry[2] = jnp.full(shape, 64, jnp.int32)  # valid
+        carry[3] = jnp.full(shape, 2, jnp.int32)   # wptr
+
+    boff = boffs_ref[t]
 
     def decode_one(hi, lo, valid):
         win = hi
@@ -381,11 +452,9 @@ def _decode_kernel(
         wptr = wptr + need.astype(jnp.int32)
         return hi, lo, valid, wptr
 
-    boff = boffs_ref[t]
-
-    def body(i, carry):
-        hi, lo, valid, wptr = carry
-        base = _mu_base(i, params_ref[0], boff, w_cap, w_band)
+    def body(i, st):
+        hi, lo, valid, wptr = st
+        base = _mu_base(c_idx * iters + i, params_ref[0], boff, w_cap, w_band)
         window = scratch[pl.ds(base, w_band)]
         hi, lo, valid, s0 = decode_one(hi, lo, valid)
         hi, lo, valid, s1 = decode_one(hi, lo, valid)
@@ -397,8 +466,17 @@ def _decode_kernel(
         out_ref[pl.ds(i, 1)] = pack[None]
         return hi, lo, valid, wptr
 
-    init = (hi0, lo0, jnp.full(shape, 64, jnp.int32), jnp.full(shape, 2, jnp.int32))
-    jax.lax.fori_loop(0, k // 4, body, init, unroll=False)
+    state = (
+        pltpu.bitcast(carry[0], u32),
+        pltpu.bitcast(carry[1], u32),
+        carry[2],
+        carry[3],
+    )
+    hi, lo, valid, wptr = jax.lax.fori_loop(0, iters, body, state, unroll=False)
+    carry[0] = pltpu.bitcast(hi, jnp.int32)
+    carry[1] = pltpu.bitcast(lo, jnp.int32)
+    carry[2] = valid
+    carry[3] = wptr
 
 
 @functools.partial(
@@ -437,21 +515,26 @@ def ils_decode(
         _decode_kernel, k=k, w_cap=w_cap, w_band=w_band, max_len=max_len,
         min_len=max(min(min_len, max_len), 1),
     )
+    n_chunks = _n_chunks(k)
+    iters = _chunk_iters(k)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 32), lambda t, s, p, b: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda t, s, p, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda t, s, p, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda t, s, p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda t, c, s, p, b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, c, s, p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, c, s, p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, c, s, p, b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (k // 4, SUBLANES, LANES), lambda t, s, p, b: (t, 0, 0), memory_space=pltpu.VMEM
+            (iters, SUBLANES, LANES),
+            lambda t, c, s, p, b: (t * n_chunks + c, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((w_cap, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((4, SUBLANES, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
