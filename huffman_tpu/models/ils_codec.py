@@ -65,6 +65,11 @@ class IlsCodec:
         out = codec.decode(comp)       # device: one static kernel dispatch
     """
 
+    #: max bytes encoded per device dispatch batch; files larger than this
+    #: split into multiple sections so inputs beyond HBM capacity stream
+    #: through (the container already carries a section list)
+    SECTION_BYTES = 1 << 30
+
     def __init__(self, table: CodeTable, *, k: int | None = None,
                  optimize: str = "speed", interpret: bool | None = None):
         import jax
@@ -133,8 +138,12 @@ class IlsCodec:
         n_full = n // tile_bytes
         sections = []
         if n_full:
-            main = data[: n_full * tile_bytes]
-            sections.append((main, k_main))
+            sec_tiles = max(self.SECTION_BYTES // tile_bytes, 1)
+            for lo in range(0, n_full, sec_tiles):
+                hi = min(lo + sec_tiles, n_full)
+                sections.append(
+                    (data[lo * tile_bytes : hi * tile_bytes], k_main)
+                )
         rem = n - n_full * tile_bytes
         if rem:
             k_tail = max(-(-rem // (4 * ILS_LANES)) * 4, 8)

@@ -141,3 +141,14 @@ def test_container_detects_corruption():
     blob[-5] ^= 0x40  # flip a payload bit
     with pytest.raises(ValueError, match="checksum"):
         read_ils_container(bytes(blob))
+
+
+def test_codec_multi_section(monkeypatch):
+    k = 8
+    data = generate_redundant(5 * k * ILS_LANES + 100, 0.5, seed=10)
+    codec = IlsCodec.fit(data, k=k, interpret=True)
+    monkeypatch.setattr(IlsCodec, "SECTION_BYTES", 2 * k * ILS_LANES)
+    comp = codec.encode(data)
+    assert len(comp.sections) == 4  # 2+2+1 full tiles, then the tail
+    blob = write_ils_container(comp)
+    assert np.array_equal(codec.decode(read_ils_container(blob)), data)
