@@ -148,8 +148,9 @@ def main():
                 acc, d = carry
                 d = d.at[0, 0, 0].set(d[0, 0, 0] ^ 1)
                 bits = ils_lengths_pass(d, params, enc, k=p.k)[0]
-                payload = ils_pack(d, params, boffs, enc, k=p.k, w_cap=p.w_cap,
-                                   w_band=p.w_band)
+                payload = ils_pack(d, params, boffs, row_starts, enc, k=p.k,
+                                   w_cap=p.w_cap, w_band=p.w_band,
+                                   total_rows=p.total_rows)
                 return acc ^ payload[0, 0, :8] ^ bits[0, 0, :8], d
             acc, _ = jax.lax.fori_loop(
                 0, R, body, (jnp.zeros(8, jnp.int32), data0))

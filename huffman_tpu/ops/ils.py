@@ -110,29 +110,6 @@ def _as_tiles_i32(data: np.ndarray, k: int) -> np.ndarray:
     return u32.view(np.int32).reshape(-1, 8, 128)
 
 
-@functools.partial(jax.jit, static_argnames=("w_cap", "total_rows"))
-def ils_compact_rows(padded, row_starts, *, w_cap, total_rows):
-    """Device-side compaction of per-tile padded payload rows.
-
-    padded: (n_tiles * w_cap, 8, 128) int32; row_starts: (n_tiles,) int32
-    cumulative W_t offsets.  Sequential dynamic-update-slices in tile order:
-    each tile writes its full w_cap rows (real rows then zero padding) at its
-    compact offset, and the next tile's write overwrites the padding — the
-    same overlap discipline as the ILS decode DMA slack.  Returns
-    (total_rows + w_cap, 8, 128) rows (slack included).
-    """
-    n_tiles = row_starts.shape[0]
-    out = jnp.zeros((total_rows + w_cap, 8, 128), jnp.int32)
-
-    def body(t, out):
-        tile = jax.lax.dynamic_slice(
-            padded, (t * w_cap, 0, 0), (w_cap, 8, 128)
-        )
-        return jax.lax.dynamic_update_slice(out, tile, (row_starts[t], 0, 0))
-
-    return jax.lax.fori_loop(0, n_tiles, body, out)
-
-
 def ils_encode_to_device(
     data_i32,
     enc: IlsEncTabs,
@@ -183,13 +160,11 @@ def ils_encode_to_device(
         n_tiles=n_tiles,
     )
 
-    padded = ils_pack(
-        data_i32, params_j, jnp.asarray(boffs_enc), enc,
-        k=k, w_cap=w_cap, w_band=w_band_enc, interpret=interpret,
-    )
     row_starts_dev = jnp.asarray(params.row_starts[:-1].astype(np.int32))
-    payload_rows = ils_compact_rows(
-        padded, row_starts_dev, w_cap=w_cap, total_rows=params.total_rows
+    payload_rows = ils_pack(
+        data_i32, params_j, jnp.asarray(boffs_enc), row_starts_dev, enc,
+        k=k, w_cap=w_cap, w_band=w_band_enc, total_rows=params.total_rows,
+        interpret=interpret,
     )
     return payload_rows, row_starts_dev, params
 

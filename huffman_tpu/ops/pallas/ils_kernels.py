@@ -250,8 +250,8 @@ def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
 # Pass B: bit packing
 # ----------------------------------------------------------------------
 def _pack_kernel(
-    params_ref, boffs_ref, lo_tab, hi_tab, data_ref, out_ref, pay, carry, sem,
-    *, k, w_cap, w_band
+    params_ref, boffs_ref, starts_ref, lo_tab, hi_tab, data_ref, out_ref,
+    pay, carry, sem, *, k, w_cap, w_band
 ):
     t = pl.program_id(0)
     boff = boffs_ref[t]
@@ -329,37 +329,43 @@ def _pack_kernel(
     def _fini():
         base = _mu_base(k // 4 - 1, params_ref[0], boff, w_cap, w_band)
         flush_word(hi, used > 0, w_enc, base)
-        # ship the finished tile payload to HBM (the out array lives in ANY
-        # memory so the w_cap buffer is not double-buffered in VMEM)
+        # ship the finished tile payload straight to its COMPACT offset in
+        # HBM (row starts are known before packing).  The write covers w_cap
+        # rows — real rows then zero padding that overlaps the next tile's
+        # region — and grid steps run in tile order, so the next tile's DMA
+        # overwrites the padding: same overlap discipline as decode's slack.
         dma = pltpu.make_async_copy(
-            pay, out_ref.at[pl.ds(t * w_cap, w_cap)], sem
+            pay, out_ref.at[pl.ds(starts_ref[t], w_cap)], sem
         )
         dma.start()
         dma.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w_cap", "w_band", "interpret"))
-def ils_pack(data_i32, params, boffs, enc: IlsEncTabs, *, k, w_cap, w_band,
-             interpret=False):
-    """Pack pass: returns per-tile padded payload (n_tiles*w_cap, 8, 128) i32.
+@functools.partial(
+    jax.jit, static_argnames=("k", "w_cap", "w_band", "total_rows", "interpret")
+)
+def ils_pack(data_i32, params, boffs, row_starts, enc: IlsEncTabs, *, k,
+             w_cap, w_band, total_rows, interpret=False):
+    """Pack pass: returns compact payload rows (total_rows + w_cap, 8, 128).
 
-    boffs: (n_tiles,) int32 per-tile emission band offsets.  Rows
-    [t*w_cap + W_t, (t+1)*w_cap) are zero padding to be dropped by the
-    caller's compaction (W_t from ils_lengths_pass).
+    boffs: (n_tiles,) int32 per-tile emission band offsets.
+    row_starts: (n_tiles,) int32 compact row offsets (cumsum of W_t from
+    ils_lengths_pass); each tile DMAs its payload directly there, so no
+    separate compaction pass exists.  The trailing w_cap rows are slack.
     """
     n_tiles = data_i32.shape[0] // (k // 4)
     n_chunks = _n_chunks(k)
     iters = _chunk_iters(k)
     kern = functools.partial(_pack_kernel, k=k, w_cap=w_cap, w_band=w_band)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((SUBLANES, LANES), lambda t, c, p, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda t, c, p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, c, p, b, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, c, p, b, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (iters, SUBLANES, LANES),
-                lambda t, c, p, b: (t * n_chunks + c, 0, 0),
+                lambda t, c, p, b, s: (t * n_chunks + c, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -373,9 +379,11 @@ def ils_pack(data_i32, params, boffs, enc: IlsEncTabs, *, k, w_cap, w_band,
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * w_cap, SUBLANES, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (total_rows + w_cap, SUBLANES, LANES), jnp.int32
+        ),
         interpret=interpret,
-    )(params, boffs, enc.lo, enc.hi, data_i32)
+    )(params, boffs, row_starts, enc.lo, enc.hi, data_i32)
 
 
 # ----------------------------------------------------------------------

@@ -147,13 +147,11 @@ def make_ils_sharded_roundtrip(
     def step(data_dev, enc, dec):
         local = data_dev[0]
         boffs = jnp.zeros(tiles_per_device, jnp.int32)
-        payload = ils_pack(
-            local, params, boffs, enc, k=k, w_cap=w_cap, w_band=w_cap,
-            interpret=interpret,
-        )
         starts = jnp.arange(tiles_per_device, dtype=jnp.int32) * w_cap
-        slack = jnp.zeros((w_cap, 8, 128), jnp.int32)
-        rows = jnp.concatenate([payload, slack], axis=0)
+        rows = ils_pack(
+            local, params, boffs, starts, enc, k=k, w_cap=w_cap, w_band=w_cap,
+            total_rows=tiles_per_device * w_cap, interpret=interpret,
+        )
         out = ils_decode(
             rows, starts, params, boffs, dec, k=k, w_cap=w_cap, w_band=w_cap,
             max_len=max_len, n_tiles=tiles_per_device, interpret=interpret,
