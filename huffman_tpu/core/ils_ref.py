@@ -24,11 +24,14 @@ either static or confined to a narrow, encoder-verified window:
   length, so at decode step ``i`` every lane's word pointer lies in a narrow
   band around ``mu_i = (i * snum) >> 16``.  The encoder simulates the
   decoder's refill schedule (`refill cadence` below), records the exact
-  deviation range, and stores ``(snum, boff, w_band)`` in the container; the
-  decoder then fetches refill words from the static-width window
-  ``[clamp(mu_i + boff, 0, w_cap - w_band), +w_band)`` with a one-hot
-  select.  This is the gap array generalized: instead of storing one start
-  offset per segment, the encoder certifies a whole *schedule*.
+  per-tile deviation envelope, and stores ``(snum, boffs[t], w_band)`` in
+  the container; the decoder then fetches refill words from the
+  static-width window ``[clamp(mu_i + boffs[t], 0, w_cap - w_band),
+  +w_band)`` with a one-hot select.  Per-tile offsets re-center the window
+  where a file's local statistics drift; the encoder's own emission events
+  get an independent envelope.  This is the gap array generalized: instead
+  of storing one start offset per segment, the encoder certifies a whole
+  *schedule*.
 
 Refill cadence (the contract between encoder, decoder and this oracle), per
 body iteration ``i in [0, k/4)``:

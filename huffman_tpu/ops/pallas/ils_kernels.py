@@ -72,6 +72,15 @@ def _chunk_iters(k):
     return min(k // 4, CHUNK_I)
 
 
+def _unroll(iters):
+    """Body-iteration unroll factor: loop overhead dominates the decode/pack
+    inner loops (measured ~2.5x decode throughput at U=8 on v5e)."""
+    for u in (8, 4, 2):
+        if iters % u == 0:
+            return u
+    return 1
+
+
 # ----------------------------------------------------------------------
 # Device table construction
 # ----------------------------------------------------------------------
@@ -178,15 +187,19 @@ def _lengths_kernel(
         used = used - jnp.where(emit, 32, 0)
         return valid, used, wptr, w_enc, dn, dx, en, ex
 
-    def body(i, st):
-        w = data_ref[i]
-        mu = ((c_idx * iters + i) * params_ref[0]) >> 16
-        st = half(w, mu, 0, *st)
-        st = half(w, mu, 2, *st)
+    U = _unroll(iters)
+
+    def body(j, st):
+        for u in range(U):
+            i = U * j + u
+            w = data_ref[i]
+            mu = ((c_idx * iters + i) * params_ref[0]) >> 16
+            st = half(w, mu, 0, *st)
+            st = half(w, mu, 2, *st)
         return st
 
     state = tuple(carry[j] for j in range(8))
-    state = jax.lax.fori_loop(0, iters, body, state, unroll=False)
+    state = jax.lax.fori_loop(0, iters // U, body, state, unroll=False)
     for j in range(8):
         carry[j] = state[j]
 
@@ -299,18 +312,22 @@ def _pack_kernel(
         w_enc = w_enc + need.astype(jnp.int32)
         return hi, lo, used, w_enc
 
-    def body(i, st):
+    U = _unroll(iters)
+
+    def body(jj, st):
         hi, lo, used, w_enc = st
-        w = data_ref[i]
-        base = _mu_base(c_idx * iters + i, params_ref[0], boff, w_cap, w_band)
-        for j in (0, 1):
-            sym = (w >> (8 * j)) & 255
-            hi, lo, used = insert(hi, lo, used, _lane_lookup(lo_tab[:], hi_tab[:], sym))
-        hi, lo, used, w_enc = emit(hi, lo, used, w_enc, base)
-        for j in (2, 3):
-            sym = (w >> (8 * j)) & 255
-            hi, lo, used = insert(hi, lo, used, _lane_lookup(lo_tab[:], hi_tab[:], sym))
-        hi, lo, used, w_enc = emit(hi, lo, used, w_enc, base)
+        for u in range(U):
+            i = U * jj + u
+            w = data_ref[i]
+            base = _mu_base(c_idx * iters + i, params_ref[0], boff, w_cap, w_band)
+            for j in (0, 1):
+                sym = (w >> (8 * j)) & 255
+                hi, lo, used = insert(hi, lo, used, _lane_lookup(lo_tab[:], hi_tab[:], sym))
+            hi, lo, used, w_enc = emit(hi, lo, used, w_enc, base)
+            for j in (2, 3):
+                sym = (w >> (8 * j)) & 255
+                hi, lo, used = insert(hi, lo, used, _lane_lookup(lo_tab[:], hi_tab[:], sym))
+            hi, lo, used, w_enc = emit(hi, lo, used, w_enc, base)
         return hi, lo, used, w_enc
 
     state = (
@@ -319,7 +336,9 @@ def _pack_kernel(
         carry[2],
         carry[3],
     )
-    hi, lo, used, w_enc = jax.lax.fori_loop(0, iters, body, state, unroll=False)
+    hi, lo, used, w_enc = jax.lax.fori_loop(
+        0, iters // U, body, state, unroll=False
+    )
     carry[0] = pltpu.bitcast(hi, jnp.int32)
     carry[1] = pltpu.bitcast(lo, jnp.int32)
     carry[2] = used
@@ -460,9 +479,8 @@ def _decode_kernel(
         wptr = wptr + need.astype(jnp.int32)
         return hi, lo, valid, wptr
 
-    def body(i, st):
-        hi, lo, valid, wptr = st
-        base = _mu_base(c_idx * iters + i, params_ref[0], boff, w_cap, w_band)
+    def quad(hi, lo, valid, wptr, gi):
+        base = _mu_base(gi, params_ref[0], boff, w_cap, w_band)
         window = scratch[pl.ds(base, w_band)]
         hi, lo, valid, s0 = decode_one(hi, lo, valid)
         hi, lo, valid, s1 = decode_one(hi, lo, valid)
@@ -471,7 +489,22 @@ def _decode_kernel(
         hi, lo, valid, s3 = decode_one(hi, lo, valid)
         hi, lo, valid, wptr = refill(hi, lo, valid, wptr, window, base)
         pack = s0 | (s1 << 8) | (s2 << 16) | (s3 << 24)
-        out_ref[pl.ds(i, 1)] = pack[None]
+        return hi, lo, valid, wptr, pack
+
+    U = _unroll(iters)
+
+    def body(j, st):
+        hi, lo, valid, wptr = st
+        i0 = U * j
+        packs = []
+        for u in range(U):
+            hi, lo, valid, wptr, pk = quad(
+                hi, lo, valid, wptr, c_idx * iters + i0 + u
+            )
+            packs.append(pk)
+        out_ref[pl.ds(i0, U)] = (
+            jnp.stack(packs) if U > 1 else packs[0][None]
+        )
         return hi, lo, valid, wptr
 
     state = (
@@ -480,7 +513,9 @@ def _decode_kernel(
         carry[2],
         carry[3],
     )
-    hi, lo, valid, wptr = jax.lax.fori_loop(0, iters, body, state, unroll=False)
+    hi, lo, valid, wptr = jax.lax.fori_loop(
+        0, iters // U, body, state, unroll=False
+    )
     carry[0] = pltpu.bitcast(hi, jnp.int32)
     carry[1] = pltpu.bitcast(lo, jnp.int32)
     carry[2] = valid
