@@ -68,7 +68,10 @@ def _kernel(lim_ref, bias_ref, gaps_ref, counts_ref, segw_ref, out_ref, *, rows,
     wptr = jnp.full((SUBLANES, LANES), 2, jnp.int32)
 
     tile_max = jnp.max(counts_ref[:])
-    iters = (tile_max + 3) >> 2
+    # 4x unrolled loop (fori_loop per-iteration overhead dominates); lanes
+    # free-run past their counts by design, so the rounded-up trip count
+    # only decodes more discarded garbage.
+    iters = ((tile_max + 15) >> 4)
 
     def decode_one(hi, lo, valid):
         win = hi
@@ -97,8 +100,7 @@ def _kernel(lim_ref, bias_ref, gaps_ref, counts_ref, segw_ref, out_ref, *, rows,
         wptr = wptr + need.astype(jnp.int32)
         return hi, lo, valid, wptr
 
-    def body(i, carry):
-        hi, lo, valid, wptr = carry
+    def quad(hi, lo, valid, wptr):
         hi, lo, valid, r0 = decode_one(hi, lo, valid)
         hi, lo, valid, r1 = decode_one(hi, lo, valid)
         hi, lo, valid, wptr = refill(hi, lo, valid, wptr)
@@ -106,7 +108,15 @@ def _kernel(lim_ref, bias_ref, gaps_ref, counts_ref, segw_ref, out_ref, *, rows,
         hi, lo, valid, r3 = decode_one(hi, lo, valid)
         hi, lo, valid, wptr = refill(hi, lo, valid, wptr)
         pack = (r0 << 24) | (r1 << 16) | (r2 << 8) | r3
-        out_ref[pl.ds(i, 1)] = pack[None]
+        return hi, lo, valid, wptr, pack
+
+    def body(j, carry):
+        hi, lo, valid, wptr = carry
+        packs = []
+        for _ in range(4):
+            hi, lo, valid, wptr, pk = quad(hi, lo, valid, wptr)
+            packs.append(pk)
+        out_ref[pl.ds(4 * j, 4)] = jnp.stack(packs)
         return (hi, lo, valid, wptr)
 
     jax.lax.fori_loop(0, iters, body, (hi, lo, valid, wptr), unroll=False)
@@ -163,7 +173,7 @@ def decode_ranks_pallas(
     gaps_r = pad_to(gaps, jnp.int32).reshape(tiles * SUBLANES, LANES)
     counts_r = pad_to(counts, jnp.int32).reshape(tiles * SUBLANES, LANES)
 
-    max_count_p = _cdiv(max(max_count, 1), 4) * 4
+    max_count_p = _cdiv(max(max_count, 1), 16) * 16
     out_rows = max_count_p // 4
 
     # lane-broadcast bias table: bias[l] = offsets[l] - first_code[l]

@@ -98,14 +98,19 @@ def _transition_kernel(
             return hi, lo, valid, pos, count
 
         def body(i, carry):
+            # 4x unrolled: fori_loop per-iteration overhead dominates these
+            # short bodies (see the ILS kernels); surplus trailing steps are
+            # masked no-ops (pos >= end_local) and their refills select no
+            # row, so rounding the trip count up is harmless.
             hi, lo, valid, wptr, pos, count = carry
-            hi, lo, valid, pos, count = step(hi, lo, valid, pos, count)
-            hi, lo, valid, pos, count = step(hi, lo, valid, pos, count)
-            hi, lo, valid, wptr = refill(hi, lo, valid, wptr)
+            for _ in range(4):
+                hi, lo, valid, pos, count = step(hi, lo, valid, pos, count)
+                hi, lo, valid, pos, count = step(hi, lo, valid, pos, count)
+                hi, lo, valid, wptr = refill(hi, lo, valid, wptr)
             return hi, lo, valid, wptr, pos, count
 
         hi, lo, valid, wptr, pos, count = jax.lax.fori_loop(
-            0, _cdiv(steps, 2), body, (hi, lo, valid, wptr, pos, count),
+            0, _cdiv(_cdiv(steps, 2), 4), body, (hi, lo, valid, wptr, pos, count),
             unroll=False,
         )
         exit_off = jnp.clip(pos - seg_bits, 0, SYNC_STATES - 1)
