@@ -1,11 +1,11 @@
 """Device orchestration for the interleaved-stream (ILS) codec.
 
-Encode = two kernel passes (schedule certification, then banded bit-pack)
-plus a host-side row compaction; decode = ONE kernel dispatch whose int32
-output *is* the original data (see `core/ils_ref.py` for the layout).  These
-functions speak NumPy at the boundary — the byte<->u32 reinterpretation is a
-zero-copy little-endian view on the host, so device code never touches a
-sub-word gather.
+Encode = two kernel passes (schedule certification, then banded bit-pack
+that DMAs each tile straight to its compact payload offset); decode = ONE
+kernel dispatch whose int32 output *is* the original data (see
+`core/ils_ref.py` for the layout).  These functions speak NumPy at the
+boundary — the byte<->u32 reinterpretation is a zero-copy little-endian
+view on the host, so device code never touches a sub-word gather.
 """
 
 from __future__ import annotations

@@ -452,11 +452,21 @@ def _decode_kernel(
 
     def decode_one(hi, lo, valid):
         win = hi
-        # levels below min_len are empty: their limits are 0, so those
-        # compares are always true — start the chain at min_len instead
-        ln = jnp.full(shape, min_len, jnp.int32)
-        for l in range(min_len, max_len):
-            ln = ln + (win >= lim_ref[0, l]).astype(jnp.int32)
+        # levels below min_len are empty (their limits are 0, the compare is
+        # always true), so the flag set starts at min_len; the compares are
+        # mutually independent and tree-reduced to keep the dependency chain
+        # logarithmic (the serial add chain measured as the kernel's
+        # dominant latency).
+        flags = [
+            (win >= lim_ref[0, l]).astype(jnp.int32)
+            for l in range(min_len, max_len)
+        ]
+        while len(flags) > 1:
+            nxt = [a + b for a, b in zip(flags[::2], flags[1::2])]
+            if len(flags) % 2:
+                nxt.append(flags[-1])
+            flags = nxt
+        ln = min_len + flags[0] if flags else jnp.full(shape, min_len, jnp.int32)
         lns = ln.astype(u32)
         value = (win >> (u32(32) - lns)).astype(jnp.int32)
         rank = jnp.take_along_axis(bias_ref[:], ln, axis=1) + value
