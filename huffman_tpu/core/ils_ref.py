@@ -33,20 +33,27 @@ either static or confined to a narrow, encoder-verified window:
   of storing one start offset per segment, the encoder certifies a whole
   *schedule*.
 
-Refill cadence (the contract between encoder, decoder and this oracle), per
-body iteration ``i in [0, k/4)``:
+Refill cadence v2 (the contract between encoder, decoder and this oracle),
+per body iteration ``i in [0, k/4)``:
 
-    decode/insert symbols 4i, 4i+1
-    event(i)
-    decode/insert symbols 4i+2, 4i+3
+    decode/insert symbols 4i .. 4i+3
     event(i)
 
-Decoder event: ``if valid <= 32: load row wptr; wptr += 1; valid += 32``
-(64-bit window invariant: ``valid >= 33`` before every symbol pair).
-Encoder event: ``if used >= 32: emit word w_enc; w_enc += 1; used -= 32``
-(accumulator invariant: ``used <= 31`` before every symbol pair), plus one
-final flush of the partial word.  Deviations ``wptr - mu_i`` and
-``w_enc - mu_i`` at event points define ``boff``/``w_band``.
+All word pointers are in PAIR units (two u32 words; streams are zero-padded
+to an even word count, so pairs are the transfer granule — this halves the
+one-hot candidate count, the decisive decode cost).  State is a 128-bit
+shift register (4 u32 words, MSB-first), initialized from the stream's
+words 0..3 with ``valid = 128`` and ``pptr = 2``.
+
+Decoder event: ``if valid <= 64: load pair pptr (words 2*pptr, 2*pptr+1);
+insert at bit offset valid; pptr += 1; valid += 64`` (invariant:
+``valid >= 65`` before every 4-symbol body, so 4 codewords of <= 16 bits
+always fit).  Encoder event: ``if used >= 64: emit pair e_ptr (top two
+accumulator words); e_ptr += 1; used -= 64`` (invariant ``used <= 63``
+before every body), plus one final flush of a whole (zero-padded) pair.
+``mu_i = (i * snum) >> 16`` with ``snum`` in pairs per iteration;
+deviations ``pptr - mu_i`` / ``e_ptr - mu_i`` at event points define the
+per-tile ``boffs``/``w_band`` (both in pair units).
 """
 
 from __future__ import annotations
@@ -81,11 +88,11 @@ class IlsParams:
     """
 
     k: int  # symbols per stream (multiple of 4)
-    snum: int  # expected rows per body iteration, 16.16 fixed point
-    boffs: np.ndarray  # (n_tiles,) int32 per-tile decode-band offset
-    w_band: int  # refill window rows (static in the kernel)
-    w_cap: int  # row capacity per tile (>= max W_t, static in the kernel)
-    w_tiles: np.ndarray  # (n_tiles,) int32 actual rows per tile
+    snum: int  # expected word-PAIRS per body iteration, 16.16 fixed point
+    boffs: np.ndarray  # (n_tiles,) int32 per-tile decode-band offset (pairs)
+    w_band: int  # refill window width in PAIRS (static in the kernel)
+    w_cap: int  # row capacity per tile in words (even, >= max W_t, static)
+    w_tiles: np.ndarray  # (n_tiles,) int32 actual rows per tile (even)
     n_tiles: int
 
     @property
@@ -98,9 +105,9 @@ class IlsParams:
 
 
 def ils_schedule_numer(avg_bits_per_symbol: float) -> int:
-    """16.16 fixed-point expected payload rows consumed per body iteration
-    (4 symbols, 32-bit rows)."""
-    return max(int(round(avg_bits_per_symbol * 4.0 / 32.0 * 65536.0)), 1)
+    """16.16 fixed-point expected word PAIRS consumed per body iteration
+    (4 symbols, 64-bit pairs)."""
+    return max(int(round(avg_bits_per_symbol * 4.0 / 64.0 * 65536.0)), 1)
 
 
 def ils_stream_symbols(data: np.ndarray, k: int) -> np.ndarray:
@@ -131,20 +138,20 @@ def ils_simulate_schedule(lens: np.ndarray, snum: int):
 
     Args:
       lens: (n_tiles, k, LANES) int codeword lengths (>= 1).
-      snum: schedule numerator (16.16 fixed point).
+      snum: schedule numerator (pairs per iteration, 16.16 fixed point).
 
     Returns (bits_total (n_tiles, LANES) int64,
              dec_min, dec_max, enc_min, enc_max — each (n_tiles,) int64):
-    per-tile envelopes of refill-read rows (decoder schedule) and
-    emission-write rows (encoder schedule, flush included) relative to mu_i.
+    per-tile envelopes of refill-read pairs (decoder schedule) and
+    emission-write pairs (encoder schedule, flush included) relative to mu_i.
     """
     n_tiles, k, lanes = lens.shape
     assert k % 4 == 0
     lens = lens.astype(np.int64)
-    valid = np.full((n_tiles, lanes), 64, np.int64)
-    wptr = np.full((n_tiles, lanes), 2, np.int64)
+    valid = np.full((n_tiles, lanes), 128, np.int64)
+    pptr = np.full((n_tiles, lanes), 2, np.int64)
     used = np.zeros((n_tiles, lanes), np.int64)
-    w_enc = np.zeros((n_tiles, lanes), np.int64)
+    e_ptr = np.zeros((n_tiles, lanes), np.int64)
     big = np.int64(1 << 40)
     dec_min = np.full(n_tiles, big)
     dec_max = np.full(n_tiles, -big)
@@ -159,22 +166,21 @@ def ils_simulate_schedule(lens: np.ndarray, snum: int):
 
     for i in range(k // 4):
         mu = _mu(i, snum)
-        for half in range(2):
-            s0 = 4 * i + 2 * half
-            valid = valid - lens[:, s0] - lens[:, s0 + 1]
-            used = used + lens[:, s0] + lens[:, s0 + 1]
-            refill = valid <= 32
-            track(dec_min, dec_max, refill, wptr, mu)
-            wptr = wptr + refill
-            valid = valid + 32 * refill
-            emit = used >= 32
-            track(enc_min, enc_max, emit, w_enc, mu)
-            w_enc = w_enc + emit
-            used = used - 32 * emit
-    # final flush of partial words, scheduled at the last iteration's mu
+        l4 = lens[:, 4 * i : 4 * i + 4].sum(axis=1)
+        valid = valid - l4
+        used = used + l4
+        refill = valid <= 64
+        track(dec_min, dec_max, refill, pptr, mu)
+        pptr = pptr + refill
+        valid = valid + 64 * refill
+        emit = used >= 64
+        track(enc_min, enc_max, emit, e_ptr, mu)
+        e_ptr = e_ptr + emit
+        used = used - 64 * emit
+    # final flush of a whole zero-padded pair, at the last iteration's mu
     mu = _mu(k // 4 - 1, snum)
-    track(enc_min, enc_max, used > 0, w_enc, mu)
-    bits = 32 * w_enc + used
+    track(enc_min, enc_max, used > 0, e_ptr, mu)
+    bits = 64 * e_ptr + used
     return bits.astype(np.int64), dec_min, dec_max, enc_min, enc_max
 
 
@@ -208,10 +214,12 @@ def ils_encode_np(data: np.ndarray, table: CodeTable, k: int):
     snum = ils_schedule_numer(avg)
     bits, dec_min, dec_max, enc_min, enc_max = ils_simulate_schedule(lens, snum)
 
-    w_tiles = np.maximum(-(-bits.max(axis=1) // 32), 2).astype(np.int64)
+    # streams are padded to even word counts; tiles need >= 4 words so the
+    # 128-bit register can initialize from static rows 0..3
+    w_tiles = np.maximum(2 * (-(-bits.max(axis=1) // 64)), 4).astype(np.int64)
     w_cap = _round_cap(int(w_tiles.max()))
     dec_span = int(np.maximum(dec_max - dec_min, 0).max(initial=0))
-    w_band = min(_round_band(dec_span + 2), w_cap)
+    w_band = min(_round_band(dec_span + 2), w_cap // 2)
     boffs = np.where(dec_min <= dec_max, dec_min, 0).astype(np.int32)
     params = IlsParams(
         k=k,
@@ -254,7 +262,7 @@ def ils_encode_np(data: np.ndarray, table: CodeTable, k: int):
 def ils_decode_np(
     payload: np.ndarray, params: IlsParams, table: CodeTable
 ) -> np.ndarray:
-    """Oracle ILS decoder — simulates the kernel (banded refills included).
+    """Oracle ILS decoder — simulates the kernel (banded pair refills).
 
     Returns flat uint8 of n_tiles * k * LANES bytes.  Raises if any refill
     that matters falls outside the certified band (container invariant).
@@ -264,51 +272,56 @@ def ils_decode_np(
     row_starts = params.row_starts
     k, lanes = params.k, ILS_LANES
     out = np.zeros((params.n_tiles, k, lanes), np.uint8)
+    m32 = np.uint64(0xFFFFFFFF)
+    cap_pairs = params.w_cap // 2
 
     for t in range(params.n_tiles):
-        rows = np.zeros((params.w_cap, lanes), np.uint64)
+        rows = np.zeros((params.w_cap + 2, lanes), np.uint64)
         avail = min(params.w_cap, payload.shape[0] - row_starts[t])
         rows[:avail] = payload[row_starts[t] : row_starts[t] + avail]
-        hi = rows[0].copy()
-        lo = rows[1].copy()
-        valid = np.full(lanes, 64, np.int64)
-        wptr = np.full(lanes, 2, np.int64)
+        a = [rows[j].copy() for j in range(4)]  # 128-bit register, MSB-first
+        valid = np.full(lanes, 128, np.int64)
+        pptr = np.full(lanes, 2, np.int64)
         for i in range(k // 4):
             base = min(max(_mu(i, params.snum) + int(params.boffs[t]), 0),
-                       params.w_cap - params.w_band)
-            for half in range(2):
-                for j in range(2):
-                    s = 4 * i + 2 * half + j
-                    idx = (hi >> np.uint64(32 - b)).astype(np.int64)
-                    out[t, s] = lut_sym[idx]
-                    ln = lut_len[idx].astype(np.uint64)
-                    hi = ((hi << ln) | (lo >> (np.uint64(32) - ln))) & np.uint64(
-                        0xFFFFFFFF
-                    )
-                    lo = (lo << ln) & np.uint64(0xFFFFFFFF)
-                    valid = valid - ln.astype(np.int64)
-                # banded refill
-                need = valid <= 32
-                rel = wptr - base
-                in_band = (rel >= 0) & (rel < params.w_band)
-                sel = np.where(in_band, np.clip(rel, 0, params.w_band - 1), 0)
-                word = rows[base + sel, np.arange(lanes)]
-                word = np.where(in_band, word, 0)
-                # The certified schedule puts every refill in band except
-                # trailing loads past the tile's row capacity, whose bits are
-                # never consumed (see module docstring / design proof).
-                if np.any(need & ~in_band & (wptr < params.w_cap)):
-                    raise ValueError("refill outside certified band")
-                word = np.where(need, word, 0)
-                vsh = valid.astype(np.uint64)
-                hi = hi | np.where(valid < 32, word >> vsh, 0)
-                lo = lo | np.where(
-                    valid < 32,
-                    (word << (np.uint64(32) - vsh)) & np.uint64(0xFFFFFFFF),
-                    np.where(valid == 32, word, 0),
-                )
-                wptr = wptr + need
-                valid = valid + 32 * need
+                       cap_pairs - params.w_band)
+            for j in range(4):
+                s = 4 * i + j
+                idx = (a[0] >> np.uint64(32 - b)).astype(np.int64)
+                out[t, s] = lut_sym[idx]
+                ln = lut_len[idx].astype(np.uint64)
+                for w in range(3):
+                    a[w] = ((a[w] << ln) | (a[w + 1] >> (np.uint64(32) - ln))) & m32
+                a[3] = (a[3] << ln) & m32
+                valid = valid - ln.astype(np.int64)
+            # banded pair refill
+            need = valid <= 64
+            rel = pptr - base
+            in_band = (rel >= 0) & (rel < params.w_band)
+            sel = np.where(in_band, np.clip(rel, 0, params.w_band - 1), 0)
+            lanes_i = np.arange(lanes)
+            w0 = np.where(in_band, rows[2 * (base + sel), lanes_i], 0)
+            w1 = np.where(in_band, rows[2 * (base + sel) + 1, lanes_i], 0)
+            # The certified schedule puts every refill in band except
+            # trailing loads past the tile's pair capacity, whose bits are
+            # never consumed (see module docstring / design proof).
+            if np.any(need & ~in_band & (pptr < cap_pairs)):
+                raise ValueError("refill outside certified band")
+            w0 = np.where(need, w0, 0)
+            w1 = np.where(need, w1, 0)
+            # insert 64 bits at offset `valid` of the 128-bit register
+            r = (valid & 31).astype(np.uint64)
+            j0 = (valid >> 5).astype(np.int64)  # word containing bit offset
+            hi0 = w0 >> r
+            lo0 = ((w0 << np.uint64(1)) << (np.uint64(31) - r)) & m32
+            hi1 = w1 >> r
+            lo1 = ((w1 << np.uint64(1)) << (np.uint64(31) - r)) & m32
+            for w in range(4):
+                a[w] = a[w] | np.where(j0 == w, hi0, 0)
+                a[w] = a[w] | np.where(j0 + 1 == w, lo0 | hi1, 0)
+                a[w] = a[w] | np.where(j0 + 2 == w, lo1, 0)
+            pptr = pptr + need
+            valid = valid + 64 * need
     # (t, 4r+j, s) -> bytes of u32 words
     n_tiles = params.n_tiles
     u32view = out.reshape(n_tiles, k // 4, 4, lanes).transpose(0, 1, 3, 2)

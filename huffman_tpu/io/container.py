@@ -152,7 +152,8 @@ def read_container(buf: bytes) -> Compressed:
 # ----------------------------------------------------------------------
 # Layout (little-endian):
 #   magic          4s  b"ILS1"
-#   version        u8  1
+#   version        u8  2   (v2 = pair-granular schedule: snum/boffs/w_band
+#                           in word pairs, streams padded to even words)
 #   max_len        u8
 #   n_sym          u16
 #   original_size  u64
@@ -192,7 +193,7 @@ def write_ils_container(comp) -> bytes:
     parts = [
         _ILS_HEADER.pack(
             ILS_MAGIC,
-            1,
+            2,
             comp.table.max_len,
             comp.table.num_symbols,
             comp.original_size,
@@ -222,7 +223,7 @@ def read_ils_container(buf: bytes):
         raise ValueError("not an ILS1 container (bad magic)")
     (_, version, max_len, n_sym, original_size, n_sections,
      crc_stored) = _ILS_HEADER.unpack_from(mv, 0)
-    if version != 1:
+    if version != 2:
         raise ValueError(f"unsupported ILS container version {version}")
     off = _ILS_HEADER.size
     entries = np.frombuffer(mv, np.uint8, 2 * n_sym, off).reshape(n_sym, 2)

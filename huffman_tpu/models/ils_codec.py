@@ -117,13 +117,15 @@ class IlsCodec:
     def encode(self, data: np.ndarray) -> IlsCompressed:
         # A file whose longest stream far exceeds the table's mean code
         # length can blow the VMEM tile budget at the chosen k; halve k and
-        # re-chunk until it fits (k=2048 always fits: max stream rows 1024).
+        # re-chunk until it fits (MIN_K always fits).
+        from ..ops import ils as ils_ops
+
         k = self.k
         while True:
             try:
                 return self._encode_with_k(data, k)
             except IlsVmemError:
-                if k <= 2048:
+                if k <= ils_ops.MIN_K:
                     raise
                 k //= 2
 

@@ -54,6 +54,10 @@ _CAP_BUCKETS = (
 # DMA'd to/from HBM), so w_cap alone must fit the remaining ~11.5 MB.
 VMEM_ROW_BUDGET = 2800
 
+# smallest k the retry path falls back to (a 2048-symbol stream is at most
+# 1024 words, always within budget)
+MIN_K = 2048
+
 
 class IlsVmemError(ValueError):
     """Tile shape would exceed the VMEM budget; retry with a smaller k."""
@@ -130,8 +134,9 @@ def ils_encode_to_device(
     bits, dec_min, dec_max, enc_min, enc_max = ils_lengths_pass(
         data_i32, params_j, enc, k=k, interpret=interpret
     )
+    # even word counts (pair granularity), >= 4 for the 128-bit register init
     w_tiles = np.asarray(
-        jnp.maximum(-(-jnp.max(bits, axis=(1, 2)) // 32), 2)
+        jnp.maximum(2 * (-(-jnp.max(bits, axis=(1, 2)) // 64)), 4)
     ).astype(np.int64)
     dec_min = np.asarray(jnp.min(dec_min, axis=(1, 2)))
     dec_max = np.asarray(jnp.max(dec_max, axis=(1, 2)))
@@ -139,15 +144,15 @@ def ils_encode_to_device(
     enc_max = np.asarray(jnp.max(enc_max, axis=(1, 2)))
 
     w_cap = round_cap(int(w_tiles.max()))
-    if w_cap > VMEM_ROW_BUDGET and k > 2048:
+    if w_cap > VMEM_ROW_BUDGET and k > MIN_K:
         raise IlsVmemError(
             f"k={k} with w_cap={w_cap} exceeds the VMEM row budget; "
             "re-encode with a smaller k"
         )
     dec_span = int(np.maximum(dec_max - dec_min, 0).max(initial=0))
     enc_span = int(np.maximum(enc_max - enc_min, 0).max(initial=0))
-    w_band = min(round_band(dec_span + 2), w_cap)
-    w_band_enc = min(round_band(enc_span + 2), w_cap)
+    w_band = min(round_band(dec_span + 2), w_cap // 2)  # in pairs
+    w_band_enc = min(round_band(enc_span + 2), w_cap // 2)
     boffs = np.where(dec_min <= dec_max, dec_min, 0).astype(np.int32)
     boffs_enc = np.where(enc_min <= enc_max, enc_min, 0).astype(np.int32)
     params = IlsParams(

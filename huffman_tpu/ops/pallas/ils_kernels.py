@@ -72,11 +72,21 @@ def _chunk_iters(k):
     return min(k // 4, CHUNK_I)
 
 
-def _unroll(iters):
+def _unroll(iters, w_band=0):
     """Body-iteration unroll factor: loop overhead dominates the decode/pack
-    inner loops (measured ~2.5x decode throughput at U=8 on v5e)."""
+    inner loops (measured ~2.5x decode throughput at U=8 on v5e).  Wide
+    refill bands (pathological schedules) shrink the factor so the traced
+    body stays bounded."""
+    if w_band > 192:
+        cap = 1
+    elif w_band > 96:
+        cap = 2
+    elif w_band > 48:
+        cap = 4
+    else:
+        cap = 8
     for u in (8, 4, 2):
-        if iters % u == 0:
+        if u <= cap and iters % u == 0:
             return u
     return 1
 
@@ -149,6 +159,7 @@ def _lengths_kernel(
     params_ref, lenlo_ref, lenhi_ref, data_ref,
     bits_ref, dnmin_ref, dnmax_ref, enmin_ref, enmax_ref, carry, *, k
 ):
+    """Schedule-v2 certification: one pair event per 4-symbol body."""
     shape = (SUBLANES, LANES)
     c_idx = pl.program_id(1)
     n_chunks = pl.num_programs(1)
@@ -156,46 +167,44 @@ def _lengths_kernel(
 
     @pl.when(c_idx == 0)
     def _init():
-        carry[0] = jnp.full(shape, 64, jnp.int32)   # valid
+        carry[0] = jnp.full(shape, 128, jnp.int32)  # valid
         carry[1] = jnp.zeros(shape, jnp.int32)      # used
-        carry[2] = jnp.full(shape, 2, jnp.int32)    # wptr
-        carry[3] = jnp.zeros(shape, jnp.int32)      # w_enc
+        carry[2] = jnp.full(shape, 2, jnp.int32)    # pptr (pairs)
+        carry[3] = jnp.zeros(shape, jnp.int32)      # e_ptr (pairs)
         carry[4] = jnp.full(shape, _BIG, jnp.int32)
         carry[5] = jnp.full(shape, -_BIG, jnp.int32)
         carry[6] = jnp.full(shape, _BIG, jnp.int32)
         carry[7] = jnp.full(shape, -_BIG, jnp.int32)
 
-    def half(w, mu, j0, valid, used, wptr, w_enc, dn, dx, en, ex):
-        l_sum = jnp.zeros(shape, jnp.int32)
-        for j in (j0, j0 + 1):
+    U = _unroll(iters)  # lengths pass has no band
+
+    def one(i, valid, used, pptr, e_ptr, dn, dx, en, ex):
+        w = data_ref[i]
+        mu = ((c_idx * iters + i) * params_ref[0]) >> 16
+        l4 = jnp.zeros(shape, jnp.int32)
+        for j in range(4):
             sym = (w >> (8 * j)) & 255
             entry = _lane_lookup(lenlo_ref[:], lenhi_ref[:], sym)
-            l_sum = l_sum + (entry >> 20)
-        valid = valid - l_sum
-        used = used + l_sum
-        refill = valid <= 32
-        dev = wptr - mu
+            l4 = l4 + (entry >> 20)
+        valid = valid - l4
+        used = used + l4
+        refill = valid <= 64
+        dev = pptr - mu
         dn = jnp.minimum(dn, jnp.where(refill, dev, _BIG))
         dx = jnp.maximum(dx, jnp.where(refill, dev, -_BIG))
-        wptr = wptr + refill.astype(jnp.int32)
-        valid = valid + jnp.where(refill, 32, 0)
-        emit = used >= 32
-        dev_e = w_enc - mu
+        pptr = pptr + refill.astype(jnp.int32)
+        valid = valid + jnp.where(refill, 64, 0)
+        emit = used >= 64
+        dev_e = e_ptr - mu
         en = jnp.minimum(en, jnp.where(emit, dev_e, _BIG))
         ex = jnp.maximum(ex, jnp.where(emit, dev_e, -_BIG))
-        w_enc = w_enc + emit.astype(jnp.int32)
-        used = used - jnp.where(emit, 32, 0)
-        return valid, used, wptr, w_enc, dn, dx, en, ex
-
-    U = _unroll(iters)
+        e_ptr = e_ptr + emit.astype(jnp.int32)
+        used = used - jnp.where(emit, 64, 0)
+        return valid, used, pptr, e_ptr, dn, dx, en, ex
 
     def body(j, st):
         for u in range(U):
-            i = U * j + u
-            w = data_ref[i]
-            mu = ((c_idx * iters + i) * params_ref[0]) >> 16
-            st = half(w, mu, 0, *st)
-            st = half(w, mu, 2, *st)
+            st = one(U * j + u, *st)
         return st
 
     state = tuple(carry[j] for j in range(8))
@@ -205,13 +214,13 @@ def _lengths_kernel(
 
     @pl.when(c_idx == n_chunks - 1)
     def _fini():
-        valid, used, wptr, w_enc, dn, dx, en, ex = state
+        valid, used, pptr, e_ptr, dn, dx, en, ex = state
         mu_last = ((k // 4 - 1) * params_ref[0]) >> 16
         flush = used > 0
-        dev_f = w_enc - mu_last
+        dev_f = e_ptr - mu_last
         en2 = jnp.minimum(en, jnp.where(flush, dev_f, _BIG))
         ex2 = jnp.maximum(ex, jnp.where(flush, dev_f, -_BIG))
-        bits_ref[0] = 32 * w_enc + used
+        bits_ref[0] = 64 * e_ptr + used
         dnmin_ref[0] = dn
         dnmax_ref[0] = dx
         enmin_ref[0] = en2
@@ -266,6 +275,10 @@ def _pack_kernel(
     params_ref, boffs_ref, starts_ref, lo_tab, hi_tab, data_ref, out_ref,
     pay, carry, sem, *, k, w_cap, w_band
 ):
+    """Schedule-v2 pack: 128-bit accumulator, one pair emission per body.
+
+    ``w_band`` is in PAIRS; the one-hot write touches 2*w_band payload rows
+    per event (half the candidates of word-granular emission)."""
     t = pl.program_id(0)
     boff = boffs_ref[t]
     c_idx = pl.program_id(1)
@@ -273,81 +286,92 @@ def _pack_kernel(
     iters = _chunk_iters(k)
     shape = (SUBLANES, LANES)
     u32 = jnp.uint32
-    iota_band = jax.lax.broadcasted_iota(jnp.int32, (w_band, SUBLANES, LANES), 0)
+    cap_pairs = w_cap // 2
+    # row index over the 2*w_band-row window; pair p occupies rows 2p, 2p+1
+    iota_rows = jax.lax.broadcasted_iota(
+        jnp.int32, (2 * w_band, SUBLANES, LANES), 0
+    )
 
     @pl.when(c_idx == 0)
     def _init():
         pay[:] = jnp.zeros((w_cap, SUBLANES, LANES), jnp.int32)
-        carry[0] = jnp.zeros(shape, jnp.int32)  # hi (bits)
-        carry[1] = jnp.zeros(shape, jnp.int32)  # lo (bits)
-        carry[2] = jnp.zeros(shape, jnp.int32)  # used
-        carry[3] = jnp.zeros(shape, jnp.int32)  # w_enc
+        for j in range(4):
+            carry[j] = jnp.zeros(shape, jnp.int32)  # 128-bit accumulator
+        carry[4] = jnp.zeros(shape, jnp.int32)  # used
+        carry[5] = jnp.zeros(shape, jnp.int32)  # e_ptr (pairs)
 
-    def insert(hi, lo, used, entry):
+    def insert(a, used, entry):
         ln = entry >> 20
         code = (entry & 0xFFFF).astype(u32)
         lns = ln.astype(u32)
         c_left = code << (u32(32) - lns)
         useds = used.astype(u32)
-        in_hi = used < 32
-        hi = hi | jnp.where(in_hi, c_left >> (useds & u32(31)), u32(0))
-        spill_lo = (c_left << ((u32(31) - useds) & u32(31))) << u32(1)
-        direct_lo = c_left >> ((useds - u32(32)) & u32(31))
-        lo = lo | jnp.where(in_hi, spill_lo, direct_lo)
-        return hi, lo, used + ln
+        r = useds & u32(31)
+        j0 = used >> 5  # word containing bit offset `used`; 0..3
+        hi = c_left >> r
+        lo = (c_left << u32(1)) << ((u32(31) - r) & u32(31))
+        a = list(a)
+        for j in range(4):
+            a[j] = a[j] | jnp.where(j0 == j, hi, u32(0))
+            if j >= 1:
+                a[j] = a[j] | jnp.where(j0 + 1 == j, lo, u32(0))
+        return tuple(a), used + ln
 
-    def flush_word(hi, need, w_enc, base):
-        rel = w_enc - base
-        word = jnp.where(need, pltpu.bitcast(hi, jnp.int32), 0)
-        window = pay[pl.ds(base, w_band)]
-        contrib = jnp.where(iota_band == rel[None], word[None], 0)
-        pay[pl.ds(base, w_band)] = window | contrib
+    def flush_pair(a, need, e_ptr, base):
+        rel = e_ptr - base
+        v0 = jnp.where(need, pltpu.bitcast(a[0], jnp.int32), 0)
+        v1 = jnp.where(need, pltpu.bitcast(a[1], jnp.int32), 0)
+        window = pay[pl.ds(2 * base, 2 * w_band)]
+        contrib = jnp.where(iota_rows == (2 * rel)[None], v0[None], 0) | (
+            jnp.where(iota_rows == (2 * rel + 1)[None], v1[None], 0)
+        )
+        pay[pl.ds(2 * base, 2 * w_band)] = window | contrib
 
-    def emit(hi, lo, used, w_enc, base):
-        need = used >= 32
-        flush_word(hi, need, w_enc, base)
-        hi = jnp.where(need, lo, hi)
-        lo = jnp.where(need, u32(0), lo)
-        used = used - jnp.where(need, 32, 0)
-        w_enc = w_enc + need.astype(jnp.int32)
-        return hi, lo, used, w_enc
+    def emit(a, used, e_ptr, base):
+        need = used >= 64
+        flush_pair(a, need, e_ptr, base)
+        a = (
+            jnp.where(need, a[2], a[0]),
+            jnp.where(need, a[3], a[1]),
+            jnp.where(need, u32(0), a[2]),
+            jnp.where(need, u32(0), a[3]),
+        )
+        used = used - jnp.where(need, 64, 0)
+        e_ptr = e_ptr + need.astype(jnp.int32)
+        return a, used, e_ptr
 
-    U = _unroll(iters)
+    U = _unroll(iters, w_band)
+
+    def one(i, a, used, e_ptr):
+        w = data_ref[i]
+        base = _mu_base(c_idx * iters + i, params_ref[0], boff, cap_pairs, w_band)
+        for j in range(4):
+            sym = (w >> (8 * j)) & 255
+            a, used = insert(a, used, _lane_lookup(lo_tab[:], hi_tab[:], sym))
+        a, used, e_ptr = emit(a, used, e_ptr, base)
+        return a, used, e_ptr
 
     def body(jj, st):
-        hi, lo, used, w_enc = st
+        a, used, e_ptr = st
         for u in range(U):
-            i = U * jj + u
-            w = data_ref[i]
-            base = _mu_base(c_idx * iters + i, params_ref[0], boff, w_cap, w_band)
-            for j in (0, 1):
-                sym = (w >> (8 * j)) & 255
-                hi, lo, used = insert(hi, lo, used, _lane_lookup(lo_tab[:], hi_tab[:], sym))
-            hi, lo, used, w_enc = emit(hi, lo, used, w_enc, base)
-            for j in (2, 3):
-                sym = (w >> (8 * j)) & 255
-                hi, lo, used = insert(hi, lo, used, _lane_lookup(lo_tab[:], hi_tab[:], sym))
-            hi, lo, used, w_enc = emit(hi, lo, used, w_enc, base)
-        return hi, lo, used, w_enc
+            a, used, e_ptr = one(U * jj + u, a, used, e_ptr)
+        return a, used, e_ptr
 
     state = (
-        pltpu.bitcast(carry[0], u32),
-        pltpu.bitcast(carry[1], u32),
-        carry[2],
-        carry[3],
+        tuple(pltpu.bitcast(carry[j], u32) for j in range(4)),
+        carry[4],
+        carry[5],
     )
-    hi, lo, used, w_enc = jax.lax.fori_loop(
-        0, iters // U, body, state, unroll=False
-    )
-    carry[0] = pltpu.bitcast(hi, jnp.int32)
-    carry[1] = pltpu.bitcast(lo, jnp.int32)
-    carry[2] = used
-    carry[3] = w_enc
+    a, used, e_ptr = jax.lax.fori_loop(0, iters // U, body, state, unroll=False)
+    for j in range(4):
+        carry[j] = pltpu.bitcast(a[j], jnp.int32)
+    carry[4] = used
+    carry[5] = e_ptr
 
     @pl.when(c_idx == n_chunks - 1)
     def _fini():
-        base = _mu_base(k // 4 - 1, params_ref[0], boff, w_cap, w_band)
-        flush_word(hi, used > 0, w_enc, base)
+        base = _mu_base(k // 4 - 1, params_ref[0], boff, cap_pairs, w_band)
+        flush_pair(a, used > 0, e_ptr, base)
         # ship the finished tile payload straight to its COMPACT offset in
         # HBM (row starts are known before packing).  The write covers w_cap
         # rows — real rows then zero padding that overlaps the next tile's
@@ -391,7 +415,7 @@ def ils_pack(data_i32, params, boffs, row_starts, enc: IlsEncTabs, *, k,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((w_cap, SUBLANES, LANES), jnp.int32),
-            pltpu.VMEM((4, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((6, SUBLANES, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -428,12 +452,18 @@ def _decode_kernel(
     max_len,
     min_len,
 ):
+    """Schedule-v2 decode: 128-bit register, one pair refill per body.
+
+    ``w_band`` is in PAIRS — the one-hot candidate count is half that of
+    word-granular refilling, which (with the refill rate also halved)
+    removes most of the refill cost."""
     t = pl.program_id(0)
     c_idx = pl.program_id(1)
     iters = _chunk_iters(k)
 
     u32 = jnp.uint32
     shape = (SUBLANES, LANES)
+    cap_pairs = w_cap // 2
     iota_band = jax.lax.broadcasted_iota(jnp.int32, (w_band, SUBLANES, LANES), 0)
 
     @pl.when(c_idx == 0)
@@ -443,20 +473,19 @@ def _decode_kernel(
         )
         dma.start()
         dma.wait()
-        carry[0] = scratch[0]  # hi
-        carry[1] = scratch[1]  # lo
-        carry[2] = jnp.full(shape, 64, jnp.int32)  # valid
-        carry[3] = jnp.full(shape, 2, jnp.int32)   # wptr
+        for j in range(4):
+            carry[j] = scratch[j]
+        carry[4] = jnp.full(shape, 128, jnp.int32)  # valid
+        carry[5] = jnp.full(shape, 2, jnp.int32)    # pptr (pairs)
 
     boff = boffs_ref[t]
 
-    def decode_one(hi, lo, valid):
-        win = hi
+    def decode_one(a0, a1, a2, a3, valid):
+        win = a0
         # levels below min_len are empty (their limits are 0, the compare is
         # always true), so the flag set starts at min_len; the compares are
         # mutually independent and tree-reduced to keep the dependency chain
-        # logarithmic (the serial add chain measured as the kernel's
-        # dominant latency).
+        # logarithmic.
         flags = [
             (win >= lim_ref[0, l]).astype(jnp.int32)
             for l in range(min_len, max_len)
@@ -471,65 +500,78 @@ def _decode_kernel(
         value = (win >> (u32(32) - lns)).astype(jnp.int32)
         rank = jnp.take_along_axis(bias_ref[:], ln, axis=1) + value
         sym = _lane_lookup(symlo_ref[:], symhi_ref[:], rank & 255)
-        hi = (hi << lns) | ((lo >> u32(1)) >> (u32(31) - lns))
-        lo = lo << lns
+        a0 = (a0 << lns) | ((a1 >> u32(1)) >> (u32(31) - lns))
+        a1 = (a1 << lns) | ((a2 >> u32(1)) >> (u32(31) - lns))
+        a2 = (a2 << lns) | ((a3 >> u32(1)) >> (u32(31) - lns))
+        a3 = a3 << lns
         valid = valid - ln
-        return hi, lo, valid, sym
+        return a0, a1, a2, a3, valid, sym
 
-    def refill(hi, lo, valid, wptr, window, base):
-        need = valid <= 32
-        rel = wptr - base
-        sel = jnp.where(iota_band == rel[None], window, 0)
-        word = pltpu.bitcast(jnp.sum(sel, axis=0), u32)
-        word = jnp.where(need, word, u32(0))
-        vsh = valid.astype(u32)
-        hi = hi | ((word >> u32(1)) >> ((vsh - u32(1)) & u32(31)))
-        lo = lo | (word << ((u32(32) - vsh) & u32(31)))
-        valid = valid + jnp.where(need, 32, 0)
-        wptr = wptr + need.astype(jnp.int32)
-        return hi, lo, valid, wptr
+    def pair_refill(a, valid, pptr, base):
+        need = valid <= 64
+        rel = pptr - base
+        window = scratch[pl.ds(2 * base, 2 * w_band)]
+        w0 = jnp.zeros(shape, jnp.int32)
+        w1 = jnp.zeros(shape, jnp.int32)
+        for q in range(w_band):
+            m = iota_band[q] == rel
+            w0 = w0 | jnp.where(m, window[2 * q], 0)
+            w1 = w1 | jnp.where(m, window[2 * q + 1], 0)
+        w0 = jnp.where(need, pltpu.bitcast(w0, u32), u32(0))
+        w1 = jnp.where(need, pltpu.bitcast(w1, u32), u32(0))
+        # insert the 64 loaded bits at offset `valid` of the 128-bit register
+        v = valid.astype(u32)
+        r = v & u32(31)
+        j0 = valid >> 5  # word containing bit offset `valid`; 0..2
+        hi0 = w0 >> r
+        lo0 = (w0 << u32(1)) << ((u32(31) - r) & u32(31))
+        hi1 = w1 >> r
+        lo1 = (w1 << u32(1)) << ((u32(31) - r) & u32(31))
+        a = list(a)
+        for j in range(4):
+            a[j] = (
+                a[j]
+                | jnp.where(j0 == j, hi0, u32(0))
+                | jnp.where(j0 + 1 == j, lo0 | hi1, u32(0))
+                | jnp.where(j0 + 2 == j, lo1, u32(0))
+            )
+        valid = valid + jnp.where(need, 64, 0)
+        pptr = pptr + need.astype(jnp.int32)
+        return tuple(a), valid, pptr
 
-    def quad(hi, lo, valid, wptr, gi):
-        base = _mu_base(gi, params_ref[0], boff, w_cap, w_band)
-        window = scratch[pl.ds(base, w_band)]
-        hi, lo, valid, s0 = decode_one(hi, lo, valid)
-        hi, lo, valid, s1 = decode_one(hi, lo, valid)
-        hi, lo, valid, wptr = refill(hi, lo, valid, wptr, window, base)
-        hi, lo, valid, s2 = decode_one(hi, lo, valid)
-        hi, lo, valid, s3 = decode_one(hi, lo, valid)
-        hi, lo, valid, wptr = refill(hi, lo, valid, wptr, window, base)
+    U = _unroll(iters, w_band)
+
+    def quad(a, valid, pptr, gi):
+        base = _mu_base(gi, params_ref[0], boff, cap_pairs, w_band)
+        a0, a1, a2, a3 = a
+        a0, a1, a2, a3, valid, s0 = decode_one(a0, a1, a2, a3, valid)
+        a0, a1, a2, a3, valid, s1 = decode_one(a0, a1, a2, a3, valid)
+        a0, a1, a2, a3, valid, s2 = decode_one(a0, a1, a2, a3, valid)
+        a0, a1, a2, a3, valid, s3 = decode_one(a0, a1, a2, a3, valid)
+        a, valid, pptr = pair_refill((a0, a1, a2, a3), valid, pptr, base)
         pack = s0 | (s1 << 8) | (s2 << 16) | (s3 << 24)
-        return hi, lo, valid, wptr, pack
-
-    U = _unroll(iters)
+        return a, valid, pptr, pack
 
     def body(j, st):
-        hi, lo, valid, wptr = st
+        a, valid, pptr = st
         i0 = U * j
         packs = []
         for u in range(U):
-            hi, lo, valid, wptr, pk = quad(
-                hi, lo, valid, wptr, c_idx * iters + i0 + u
-            )
+            a, valid, pptr, pk = quad(a, valid, pptr, c_idx * iters + i0 + u)
             packs.append(pk)
-        out_ref[pl.ds(i0, U)] = (
-            jnp.stack(packs) if U > 1 else packs[0][None]
-        )
-        return hi, lo, valid, wptr
+        out_ref[pl.ds(i0, U)] = jnp.stack(packs) if U > 1 else packs[0][None]
+        return a, valid, pptr
 
     state = (
-        pltpu.bitcast(carry[0], u32),
-        pltpu.bitcast(carry[1], u32),
-        carry[2],
-        carry[3],
+        tuple(pltpu.bitcast(carry[j], u32) for j in range(4)),
+        carry[4],
+        carry[5],
     )
-    hi, lo, valid, wptr = jax.lax.fori_loop(
-        0, iters // U, body, state, unroll=False
-    )
-    carry[0] = pltpu.bitcast(hi, jnp.int32)
-    carry[1] = pltpu.bitcast(lo, jnp.int32)
-    carry[2] = valid
-    carry[3] = wptr
+    a, valid, pptr = jax.lax.fori_loop(0, iters // U, body, state, unroll=False)
+    for j in range(4):
+        carry[j] = pltpu.bitcast(a[j], jnp.int32)
+    carry[4] = valid
+    carry[5] = pptr
 
 
 @functools.partial(
@@ -587,7 +629,7 @@ def ils_decode(
         ),
         scratch_shapes=[
             pltpu.VMEM((w_cap, SUBLANES, LANES), jnp.int32),
-            pltpu.VMEM((4, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((6, SUBLANES, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

@@ -134,8 +134,9 @@ def make_ils_sharded_roundtrip(
     windows, ordered recombination, collective verification (pmin).
     Returns fn(data_i32 (D, T/D*k//4, 8, 128), enc, dec) -> (decoded, ok).
     """
-    w_cap = _cdiv(k * max_len, 32) + 2  # worst-case rows: always sufficient
-    params = jnp.zeros(2, jnp.int32)  # snum=0, boff=0: full-band schedule
+    # worst-case even row count: always sufficient, full-band schedule
+    w_cap = 2 * (_cdiv(k * max_len, 64) + 2)
+    params = jnp.zeros(2, jnp.int32)  # snum=0, boff=0
 
     @functools.partial(
         jax.shard_map,
@@ -149,12 +150,14 @@ def make_ils_sharded_roundtrip(
         boffs = jnp.zeros(tiles_per_device, jnp.int32)
         starts = jnp.arange(tiles_per_device, dtype=jnp.int32) * w_cap
         rows = ils_pack(
-            local, params, boffs, starts, enc, k=k, w_cap=w_cap, w_band=w_cap,
-            total_rows=tiles_per_device * w_cap, interpret=interpret,
+            local, params, boffs, starts, enc, k=k, w_cap=w_cap,
+            w_band=w_cap // 2, total_rows=tiles_per_device * w_cap,
+            interpret=interpret,
         )
         out = ils_decode(
-            rows, starts, params, boffs, dec, k=k, w_cap=w_cap, w_band=w_cap,
-            max_len=max_len, n_tiles=tiles_per_device, interpret=interpret,
+            rows, starts, params, boffs, dec, k=k, w_cap=w_cap,
+            w_band=w_cap // 2, max_len=max_len, n_tiles=tiles_per_device,
+            interpret=interpret,
         )
         ok_local = jnp.all(out == local).astype(jnp.int32)
         ok = jax.lax.pmin(ok_local, DATA_AXIS)
