@@ -37,22 +37,27 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_chained(make_fn, r1, r2, *args):
+def measure_chained(make_fn, r1, r2, *args, trials=6):
     """Amortized seconds per op: run make_fn(R)(*args) for two Rs and
-    difference.  Large buffers must be passed via *args, not closures —
+    difference the minima over interleaved trials.  Interleaving matters:
+    dispatch latency through the tunnel drifts over process lifetime (up to
+    ~1.4x observed), so timing the two R values back-to-back in separate
+    phases biases the difference; alternating R1/R2 samples the same drift
+    regime for both.  Large buffers must be passed via *args, not closures —
     closed-over arrays embed as HLO constants and blow the remote-compile
     request limit at GB scale."""
-    ts = {}
-    for R in (r1, r2):
-        f = make_fn(R)
-        np.asarray(f(*args))  # compile + hard sync
-        best = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(f(*args))
-            best.append(time.perf_counter() - t0)
-        ts[R] = min(best)
-    return max((ts[r2] - ts[r1]) / (r2 - r1), 1e-9)
+    f1, f2 = make_fn(r1), make_fn(r2)
+    np.asarray(f1(*args))  # compile + hard sync
+    np.asarray(f2(*args))
+    t1, t2 = [], []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(f1(*args))
+        t1.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(f2(*args))
+        t2.append(time.perf_counter() - t0)
+    return max((min(t2) - min(t1)) / (r2 - r1), 1e-9)
 
 
 def main():
@@ -61,7 +66,7 @@ def main():
     ap.add_argument("--redundancy", type=float, default=0.5)
     ap.add_argument("--k", type=int, default=None)
     ap.add_argument("--optimize", choices=["speed", "ratio"], default="speed")
-    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=16)
     args = ap.parse_args()
 
     import jax

@@ -72,9 +72,18 @@ def _chunk_iters(k):
     return min(k // 4, CHUNK_I)
 
 
+def _decode_nt(n_tiles, k, w_cap):
+    """Tiles interleaved per decode grid step.  Measured on v5e: two
+    independent decode chains do NOT beat one (the kernel is VPU
+    throughput-bound, not latency-bound — interleaved trials showed parity
+    within noise while doubling VMEM window pressure), so the default is 1;
+    the ``nt`` override on `ils_decode` remains for tuning on other parts."""
+    return 1
+
+
 def _unroll(iters, w_band=0):
     """Body-iteration unroll factor: loop overhead dominates the decode/pack
-    inner loops (measured ~2.5x decode throughput at U=8 on v5e).  Wide
+    inner loops (U=16 measured best on v5e, slightly ahead of U=8).  Wide
     refill bands (pathological schedules) shrink the factor so the traced
     body stays bounded."""
     if w_band > 192:
@@ -84,8 +93,8 @@ def _unroll(iters, w_band=0):
     elif w_band > 48:
         cap = 4
     else:
-        cap = 8
-    for u in (8, 4, 2):
+        cap = 16
+    for u in (16, 8, 4, 2):
         if u <= cap and iters % u == 0:
             return u
     return 1
@@ -451,15 +460,25 @@ def _decode_kernel(
     w_band,
     max_len,
     min_len,
+    nt,
+    iters,
+    unroll,
+    lazy,
 ):
     """Schedule-v2 decode: 128-bit register, one pair refill per body.
 
     ``w_band`` is in PAIRS — the one-hot candidate count is half that of
     word-granular refilling, which (with the refill rate also halved)
-    removes most of the refill cost."""
-    t = pl.program_id(0)
+    removes most of the refill cost.
+
+    ``nt`` tiles are decoded per grid step with their quad iterations
+    interleaved in trace order: each tile's decode is one long serial
+    dependence chain (register -> length -> shift -> register), so a single
+    chain leaves the VPU pipeline mostly idle; independent chains fill the
+    latency gaps (the TPU analog of the reference decoder occupying an SM
+    with many independent warps, `gpuhd/src/cuhd_gpu_decoder.cu:145-159`)."""
+    g = pl.program_id(0)
     c_idx = pl.program_id(1)
-    iters = _chunk_iters(k)
 
     u32 = jnp.uint32
     shape = (SUBLANES, LANES)
@@ -468,20 +487,22 @@ def _decode_kernel(
 
     @pl.when(c_idx == 0)
     def _load():
-        dma = pltpu.make_async_copy(
-            payload_ref.at[pl.ds(starts_ref[t], w_cap)], scratch, sem
-        )
-        dma.start()
-        dma.wait()
-        for j in range(4):
-            carry[j] = scratch[j]
-        carry[4] = jnp.full(shape, 128, jnp.int32)  # valid
-        carry[5] = jnp.full(shape, 2, jnp.int32)    # pptr (pairs)
+        for s in range(nt):
+            dma = pltpu.make_async_copy(
+                payload_ref.at[pl.ds(starts_ref[g * nt + s], w_cap)],
+                scratch.at[s],
+                sem,
+            )
+            dma.start()
+            dma.wait()
+            for j in range(4):
+                carry[s, j] = scratch[s, j]
+            carry[s, 4] = jnp.full(shape, 128, jnp.int32)  # valid
+            carry[s, 5] = jnp.full(shape, 2, jnp.int32)    # pptr (pairs)
 
-    boff = boffs_ref[t]
+    boffs = [boffs_ref[g * nt + s] for s in range(nt)]
 
-    def decode_one(a0, a1, a2, a3, valid):
-        win = a0
+    def _sym_ln(win):
         # levels below min_len are empty (their limits are 0, the compare is
         # always true), so the flag set starts at min_len; the compares are
         # mutually independent and tree-reduced to keep the dependency chain
@@ -500,6 +521,10 @@ def _decode_kernel(
         value = (win >> (u32(32) - lns)).astype(jnp.int32)
         rank = jnp.take_along_axis(bias_ref[:], ln, axis=1) + value
         sym = _lane_lookup(symlo_ref[:], symhi_ref[:], rank & 255)
+        return sym, ln, lns
+
+    def decode_one(a0, a1, a2, a3, valid):
+        sym, ln, lns = _sym_ln(a0)
         a0 = (a0 << lns) | ((a1 >> u32(1)) >> (u32(31) - lns))
         a1 = (a1 << lns) | ((a2 >> u32(1)) >> (u32(31) - lns))
         a2 = (a2 << lns) | ((a3 >> u32(1)) >> (u32(31) - lns))
@@ -507,10 +532,48 @@ def _decode_kernel(
         valid = valid - ln
         return a0, a1, a2, a3, valid, sym
 
-    def pair_refill(a, valid, pptr, base):
+    def decode_one_lazy(a0, a1):
+        # only the 64-bit decode window (a0, a1) shifts per symbol; the
+        # buffer half (s2, s3) catches up once per body.  The window always
+        # holds >= 64 - 48 = 16 real bits at the 4th symbol, and canonical
+        # compare is tail-agnostic (any codeword left-justified with zero
+        # tail stays inside its level's limit interval), so a max-length
+        # codeword still decodes correctly from the window alone.
+        sym, ln, lns = _sym_ln(a0)
+        a0 = (a0 << lns) | ((a1 >> u32(1)) >> (u32(31) - lns))
+        a1 = a1 << lns
+        return a0, a1, ln, sym
+
+    def catch_up(a0, a1, s2, s3, l4):
+        """Move the body's consumed bit count l4 (4*min_len..64) from the
+        buffer (s2, s3) into the vacated low bits of the window; buffer
+        shifts left by l4.  Restores the packed-register invariant (window
+        fills before buffer) so body-boundary state is bitwise identical to
+        the eager path's 128-bit register."""
+        t2 = 64 - l4
+        um = (t2 & 31).astype(u32)
+        ub = t2 >= 32
+        # X = (s2, s3) >> t2: the buffer's top l4 bits, right-aligned
+        xhi = jnp.where(ub, u32(0), s2 >> um)
+        xlo = jnp.where(
+            ub, s2 >> um, ((s2 << u32(1)) << (u32(31) - um)) | (s3 >> um)
+        )
+        a0 = a0 | xhi
+        a1 = a1 | xlo
+        rm = (l4 & 31).astype(u32)
+        rb = l4 >= 32
+        s2n = jnp.where(
+            rb,
+            jnp.where(l4 >= 64, u32(0), s3 << rm),
+            (s2 << rm) | ((s3 >> u32(1)) >> (u32(31) - rm)),
+        )
+        s3n = jnp.where(rb, u32(0), s3 << rm)
+        return a0, a1, s2n, s3n
+
+    def pair_refill(s, a, valid, pptr, base):
         need = valid <= 64
         rel = pptr - base
-        window = scratch[pl.ds(2 * base, 2 * w_band)]
+        window = scratch[s, pl.ds(2 * base, 2 * w_band)]
         w0 = jnp.zeros(shape, jnp.int32)
         w1 = jnp.zeros(shape, jnp.int32)
         for q in range(w_band):
@@ -539,45 +602,114 @@ def _decode_kernel(
         pptr = pptr + need.astype(jnp.int32)
         return tuple(a), valid, pptr
 
-    U = _unroll(iters, w_band)
+    def pair_refill_lazy(s, a, valid, pptr, base):
+        # After catch_up the packed invariant holds: when valid <= 64 the
+        # buffer (s2, s3) is empty, so the fresh pair P splits cleanly —
+        # P >> valid tops up the window, P << (64 - valid) becomes the new
+        # buffer.  No 4-word one-hot insert needed.
+        a0, a1, s2, s3 = a
+        need = valid <= 64
+        rel = pptr - base
+        window = scratch[s, pl.ds(2 * base, 2 * w_band)]
+        w0 = jnp.zeros(shape, jnp.int32)
+        w1 = jnp.zeros(shape, jnp.int32)
+        for q in range(w_band):
+            m = iota_band[q] == rel
+            w0 = w0 | jnp.where(m, window[2 * q], 0)
+            w1 = w1 | jnp.where(m, window[2 * q + 1], 0)
+        w0 = jnp.where(need, pltpu.bitcast(w0, u32), u32(0))
+        w1 = jnp.where(need, pltpu.bitcast(w1, u32), u32(0))
+        # X = P >> valid with valid in [1, 64]: shift P >> 1 first so the
+        # variable part stays in [0, 63]
+        qhi = w0 >> u32(1)
+        qlo = (w0 << u32(31)) | (w1 >> u32(1))
+        u = valid - 1
+        um = (u & 31).astype(u32)
+        ub = u >= 32
+        xhi = jnp.where(ub, u32(0), qhi >> um)
+        xlo = jnp.where(
+            ub, qhi >> um, ((qhi << u32(1)) << (u32(31) - um)) | (qlo >> um)
+        )
+        a0 = a0 | xhi  # w0/w1 are zero when !need, so this is a no-op then
+        a1 = a1 | xlo
+        t = 64 - valid
+        tm = (t & 31).astype(u32)
+        tb = t >= 32
+        s2n = jnp.where(
+            tb, w1 << tm, (w0 << tm) | ((w1 >> u32(1)) >> (u32(31) - tm))
+        )
+        s3n = jnp.where(tb, u32(0), w1 << tm)
+        s2 = jnp.where(need, s2n, s2)
+        s3 = jnp.where(need, s3n, s3)
+        valid = valid + jnp.where(need, 64, 0)
+        pptr = pptr + need.astype(jnp.int32)
+        return (a0, a1, s2, s3), valid, pptr
 
-    def quad(a, valid, pptr, gi):
-        base = _mu_base(gi, params_ref[0], boff, cap_pairs, w_band)
+    U = unroll if unroll else _unroll(iters, w_band * nt)
+    assert iters % U == 0, f"unroll {U} must divide chunk iters {iters}"
+
+    def quad(s, a, valid, pptr, gi):
+        base = _mu_base(gi, params_ref[0], boffs[s], cap_pairs, w_band)
+        if lazy:
+            a0, a1, s2, s3 = a
+            a0, a1, l0, s0 = decode_one_lazy(a0, a1)
+            a0, a1, l1, s1 = decode_one_lazy(a0, a1)
+            a0, a1, l2, s2_ = decode_one_lazy(a0, a1)
+            a0, a1, l3, s3_ = decode_one_lazy(a0, a1)
+            l4 = l0 + l1 + l2 + l3
+            a0, a1, s2, s3 = catch_up(a0, a1, s2, s3, l4)
+            valid = valid - l4
+            a, valid, pptr = pair_refill_lazy(
+                s, (a0, a1, s2, s3), valid, pptr, base
+            )
+            pack = s0 | (s1 << 8) | (s2_ << 16) | (s3_ << 24)
+            return (a, valid, pptr), pack
         a0, a1, a2, a3 = a
         a0, a1, a2, a3, valid, s0 = decode_one(a0, a1, a2, a3, valid)
         a0, a1, a2, a3, valid, s1 = decode_one(a0, a1, a2, a3, valid)
         a0, a1, a2, a3, valid, s2 = decode_one(a0, a1, a2, a3, valid)
         a0, a1, a2, a3, valid, s3 = decode_one(a0, a1, a2, a3, valid)
-        a, valid, pptr = pair_refill((a0, a1, a2, a3), valid, pptr, base)
+        a, valid, pptr = pair_refill(s, (a0, a1, a2, a3), valid, pptr, base)
         pack = s0 | (s1 << 8) | (s2 << 16) | (s3 << 24)
-        return a, valid, pptr, pack
+        return (a, valid, pptr), pack
 
     def body(j, st):
-        a, valid, pptr = st
+        st = list(st)
         i0 = U * j
-        packs = []
+        packs = [[] for _ in range(nt)]
         for u in range(U):
-            a, valid, pptr, pk = quad(a, valid, pptr, c_idx * iters + i0 + u)
-            packs.append(pk)
-        out_ref[pl.ds(i0, U)] = jnp.stack(packs) if U > 1 else packs[0][None]
-        return a, valid, pptr
+            gi = c_idx * iters + i0 + u
+            for s in range(nt):
+                st[s], pk = quad(s, *st[s], gi)
+                packs[s].append(pk)
+        for s in range(nt):
+            out_ref[s, pl.ds(i0, U)] = (
+                jnp.stack(packs[s]) if U > 1 else packs[s][0][None]
+            )
+        return tuple(st)
 
-    state = (
-        tuple(pltpu.bitcast(carry[j], u32) for j in range(4)),
-        carry[4],
-        carry[5],
+    state = tuple(
+        (
+            tuple(pltpu.bitcast(carry[s, j], u32) for j in range(4)),
+            carry[s, 4],
+            carry[s, 5],
+        )
+        for s in range(nt)
     )
-    a, valid, pptr = jax.lax.fori_loop(0, iters // U, body, state, unroll=False)
-    for j in range(4):
-        carry[j] = pltpu.bitcast(a[j], jnp.int32)
-    carry[4] = valid
-    carry[5] = pptr
+    state = jax.lax.fori_loop(0, iters // U, body, state, unroll=False)
+    for s in range(nt):
+        a, valid, pptr = state[s]
+        for j in range(4):
+            carry[s, j] = pltpu.bitcast(a[j], jnp.int32)
+        carry[s, 4] = valid
+        carry[s, 5] = pptr
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "w_cap", "w_band", "max_len", "min_len", "n_tiles", "interpret"
+        "k", "w_cap", "w_band", "max_len", "min_len", "n_tiles", "interpret",
+        "nt", "unroll", "lazy"
     ),
 )
 def ils_decode(
@@ -594,6 +726,9 @@ def ils_decode(
     n_tiles,
     min_len=1,
     interpret=False,
+    nt=None,
+    unroll=None,
+    lazy=True,
 ):
     """Decode n_tiles tiles.
 
@@ -606,15 +741,26 @@ def ils_decode(
 
     Returns (n_tiles * k//4, 8, 128) int32 — the original u32 data.
     """
+    if nt is None:
+        nt = _decode_nt(n_tiles, k, w_cap)
+    iters = min(k // 4, CHUNK_I // nt)
+    assert (k // 4) % iters == 0
+    n_chunks = (k // 4) // iters
+    n_groups = -(-n_tiles // nt)
+    pad = n_groups * nt - n_tiles
+    if pad:
+        # phantom slots re-decode the last tile (its window DMA and output
+        # rows are real but discarded below); keeps the grid rectangular
+        row_starts = jnp.concatenate([row_starts, row_starts[-1:]])
+        boffs = jnp.concatenate([boffs, boffs[-1:]])
     kern = functools.partial(
         _decode_kernel, k=k, w_cap=w_cap, w_band=w_band, max_len=max_len,
-        min_len=max(min(min_len, max_len), 1),
+        min_len=max(min(min_len, max_len), 1), nt=nt, iters=iters,
+        unroll=unroll, lazy=lazy,
     )
-    n_chunks = _n_chunks(k)
-    iters = _chunk_iters(k)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_tiles, n_chunks),
+        grid=(n_groups, n_chunks),
         in_specs=[
             pl.BlockSpec((1, 32), lambda t, c, s, p, b: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((SUBLANES, LANES), lambda t, c, s, p, b: (0, 0), memory_space=pltpu.VMEM),
@@ -623,22 +769,25 @@ def ils_decode(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (iters, SUBLANES, LANES),
-            lambda t, c, s, p, b: (t * n_chunks + c, 0, 0),
+            (nt, iters, SUBLANES, LANES),
+            lambda t, c, s, p, b: (t, c, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((w_cap, SUBLANES, LANES), jnp.int32),
-            pltpu.VMEM((6, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((nt, w_cap, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((nt, 6, SUBLANES, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_tiles * (k // 4), SUBLANES, LANES), jnp.int32
+            (n_groups * nt, k // 4, SUBLANES, LANES), jnp.int32
         ),
         interpret=interpret,
     )(row_starts, params, boffs, dec.lim, dec.bias, dec.sym_lo, dec.sym_hi,
       payload_rows)
+    out = out.reshape(n_groups * nt * (k // 4), SUBLANES, LANES)
+    # the slice fuses into the consumer under jit; no copy materializes
+    return out[: n_tiles * (k // 4)] if pad else out

@@ -80,6 +80,50 @@ def test_kernels_match_oracle(r):
     assert np.array_equal(out, data)
 
 
+@pytest.mark.parametrize("lazy", [False, True])
+@pytest.mark.parametrize("nt", [1, 2])
+def test_decode_kernel_variants(lazy, nt):
+    # the eager 128-bit-register path and the nt=2 interleaved path are
+    # tuning fallbacks; keep them bit-exact alongside the default
+    from huffman_tpu.ops.pallas.ils_kernels import ils_decode
+    from huffman_tpu.ops.ils import _as_tiles_i32, ils_encode_to_device
+    import jax.numpy as jnp
+
+    k = 12
+    n = 2 * k * ILS_LANES
+    data = generate_redundant(n, 0.5, seed=11)
+    table = _fit(data)
+    enc, dec = ils_enc_tabs(table), ils_dec_tabs(table)
+    avg = float(table.lengths.astype(np.int64)[data].mean())
+    data_i32 = jnp.asarray(_as_tiles_i32(data, k))
+    rows, starts, p = ils_encode_to_device(
+        data_i32, enc, k=k, avg_bits=avg, interpret=True
+    )
+    params = jnp.asarray(np.array([p.snum, 0], np.int32))
+    out = ils_decode(
+        rows, starts, params, jnp.asarray(p.boffs), dec, k=p.k,
+        w_cap=p.w_cap, w_band=p.w_band, max_len=table.max_len_present,
+        min_len=table.min_len, n_tiles=p.n_tiles, interpret=True,
+        nt=nt, lazy=lazy,
+    )
+    assert np.array_equal(np.asarray(out), np.asarray(data_i32))
+
+
+@pytest.mark.parametrize("n_tiles", [1, 3])
+def test_decode_odd_tile_counts(n_tiles):
+    # the interleaved (nt=2) decode kernel pads odd tile counts with a
+    # phantom slot re-decoding the last tile; 1 tile takes the nt=1 path
+    k = 12
+    n = n_tiles * k * ILS_LANES
+    data = generate_redundant(n, 0.5, seed=9)
+    table = _fit(data)
+    enc, dec = ils_enc_tabs(table), ils_dec_tabs(table)
+    avg = float(table.lengths.astype(np.int64)[data].mean())
+    sec = ils_encode_device(data, table, enc, k=k, avg_bits=avg, interpret=True)
+    out = ils_decode_device(sec, table, dec, interpret=True)
+    assert np.array_equal(out, data)
+
+
 def test_schedule_simulation_envelope():
     # all-same-symbol input: zero deviation from a constant-length schedule
     k = 16
