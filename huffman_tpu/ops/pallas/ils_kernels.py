@@ -296,9 +296,9 @@ def _pack_kernel(
     shape = (SUBLANES, LANES)
     u32 = jnp.uint32
     cap_pairs = w_cap // 2
-    # row index over the 2*w_band-row window; pair p occupies rows 2p, 2p+1
-    iota_rows = jax.lax.broadcasted_iota(
-        jnp.int32, (2 * w_band, SUBLANES, LANES), 0
+    # pair index over the w_band-pair window; pair p occupies rows 2p, 2p+1
+    iota_pairs = jax.lax.broadcasted_iota(
+        jnp.int32, (w_band, 1, SUBLANES, LANES), 0
     )
 
     @pl.when(c_idx == 0)
@@ -330,11 +330,13 @@ def _pack_kernel(
         rel = e_ptr - base
         v0 = jnp.where(need, pltpu.bitcast(a[0], jnp.int32), 0)
         v1 = jnp.where(need, pltpu.bitcast(a[1], jnp.int32), 0)
+        # one compare per PAIR position, shared by the pair's two rows
+        m = iota_pairs == rel[None, None]
+        contrib = jnp.where(m, jnp.stack([v0, v1])[None], 0)
         window = pay[pl.ds(2 * base, 2 * w_band)]
-        contrib = jnp.where(iota_rows == (2 * rel)[None], v0[None], 0) | (
-            jnp.where(iota_rows == (2 * rel + 1)[None], v1[None], 0)
+        pay[pl.ds(2 * base, 2 * w_band)] = window | contrib.reshape(
+            2 * w_band, SUBLANES, LANES
         )
-        pay[pl.ds(2 * base, 2 * w_band)] = window | contrib
 
     def emit(a, used, e_ptr, base):
         need = used >= 64
