@@ -282,12 +282,20 @@ def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
 # ----------------------------------------------------------------------
 def _pack_kernel(
     params_ref, boffs_ref, starts_ref, lo_tab, hi_tab, data_ref, out_ref,
-    pay, carry, sem, *, k, w_cap, w_band
+    pay, carry, sem, *, k, w_cap, w_band, flush_g
 ):
-    """Schedule-v2 pack: 128-bit accumulator, one pair emission per body.
+    """Schedule-v2 pack: 192-bit accumulator, deferred two-body flush.
 
-    ``w_band`` is in PAIRS; the one-hot write touches 2*w_band payload rows
-    per event (half the candidates of word-granular emission)."""
+    ``w_band`` is in PAIRS.  The banded one-hot WRITE (the TPU stand-in for
+    the reference's atomicOr, `encoder.cu:317-347`) is the dominant pack
+    cost, so the window read-modify-write runs once per TWO bodies: the
+    accumulator holds up to 191 bits (two bodies of <= 64 plus a 63-bit
+    remainder), and the flush retires up to two consecutive pairs at
+    ``rel``/``rel+1`` in one window pass.  Emission order and e_ptr
+    sequence are identical to the certified per-body schedule; the window
+    is widened by G pairs to cover the deferred body's base drift (mu
+    advances <= 1 pair/body), mirroring the group-clamp proof in
+    `_mu_base` terms: base_g <= base_i <= base_g + G."""
     t = pl.program_id(0)
     boff = boffs_ref[t]
     c_idx = pl.program_id(1)
@@ -296,18 +304,21 @@ def _pack_kernel(
     shape = (SUBLANES, LANES)
     u32 = jnp.uint32
     cap_pairs = w_cap // 2
-    # pair index over the w_band-pair window; pair p occupies rows 2p, 2p+1
+
+    U = _unroll(iters, w_band)
+    G = flush_g if flush_g and U % flush_g == 0 else (2 if U % 2 == 0 else 1)
+    W = min(w_band + G, cap_pairs)  # flush window width (pairs)
     iota_pairs = jax.lax.broadcasted_iota(
-        jnp.int32, (w_band, 1, SUBLANES, LANES), 0
+        jnp.int32, (W, 1, SUBLANES, LANES), 0
     )
 
     @pl.when(c_idx == 0)
     def _init():
         pay[:] = jnp.zeros((w_cap, SUBLANES, LANES), jnp.int32)
-        for j in range(4):
-            carry[j] = jnp.zeros(shape, jnp.int32)  # 128-bit accumulator
-        carry[4] = jnp.zeros(shape, jnp.int32)  # used
-        carry[5] = jnp.zeros(shape, jnp.int32)  # e_ptr (pairs)
+        for j in range(6):
+            carry[j] = jnp.zeros(shape, jnp.int32)  # 192-bit accumulator
+        carry[6] = jnp.zeros(shape, jnp.int32)  # used
+        carry[7] = jnp.zeros(shape, jnp.int32)  # e_ptr (pairs)
 
     def insert(a, used, entry):
         ln = entry >> 20
@@ -316,73 +327,90 @@ def _pack_kernel(
         c_left = code << (u32(32) - lns)
         useds = used.astype(u32)
         r = useds & u32(31)
-        j0 = used >> 5  # word containing bit offset `used`; 0..3
+        j0 = used >> 5  # word containing bit offset `used`; 0..5
         hi = c_left >> r
         lo = (c_left << u32(1)) << ((u32(31) - r) & u32(31))
         a = list(a)
-        for j in range(4):
+        for j in range(6):
             a[j] = a[j] | jnp.where(j0 == j, hi, u32(0))
             if j >= 1:
                 a[j] = a[j] | jnp.where(j0 + 1 == j, lo, u32(0))
         return tuple(a), used + ln
 
-    def flush_pair(a, need, e_ptr, base):
+    def flush2(a, used, e_ptr, base):
+        """Retire up to two pairs (used>=64, used>=128) in one window RMW."""
+        e1 = used >= 64
+        e2 = used >= 128
         rel = e_ptr - base
-        v0 = jnp.where(need, pltpu.bitcast(a[0], jnp.int32), 0)
-        v1 = jnp.where(need, pltpu.bitcast(a[1], jnp.int32), 0)
+        v00 = jnp.where(e1, pltpu.bitcast(a[0], jnp.int32), 0)
+        v01 = jnp.where(e1, pltpu.bitcast(a[1], jnp.int32), 0)
+        v10 = jnp.where(e2, pltpu.bitcast(a[2], jnp.int32), 0)
+        v11 = jnp.where(e2, pltpu.bitcast(a[3], jnp.int32), 0)
         # one compare per PAIR position, shared by the pair's two rows
-        m = iota_pairs == rel[None, None]
-        contrib = jnp.where(m, jnp.stack([v0, v1])[None], 0)
-        window = pay[pl.ds(2 * base, 2 * w_band)]
-        pay[pl.ds(2 * base, 2 * w_band)] = window | contrib.reshape(
-            2 * w_band, SUBLANES, LANES
+        m1 = iota_pairs == rel[None, None]
+        m2 = iota_pairs == (rel + 1)[None, None]
+        contrib = jnp.where(m1, jnp.stack([v00, v01])[None], 0) | jnp.where(
+            m2, jnp.stack([v10, v11])[None], 0
         )
-
-    def emit(a, used, e_ptr, base):
-        need = used >= 64
-        flush_pair(a, need, e_ptr, base)
-        a = (
-            jnp.where(need, a[2], a[0]),
-            jnp.where(need, a[3], a[1]),
-            jnp.where(need, u32(0), a[2]),
-            jnp.where(need, u32(0), a[3]),
+        window = pay[pl.ds(2 * base, 2 * W)]
+        pay[pl.ds(2 * base, 2 * W)] = window | contrib.reshape(
+            2 * W, SUBLANES, LANES
         )
-        used = used - jnp.where(need, 64, 0)
-        e_ptr = e_ptr + need.astype(jnp.int32)
-        return a, used, e_ptr
+        # shift the accumulator down by the retired pair count (0, 1 or 2)
+        a = tuple(
+            jnp.where(
+                e2,
+                a[j + 4] if j + 4 < 6 else u32(0),
+                jnp.where(e1, a[j + 2] if j + 2 < 6 else u32(0), a[j]),
+            )
+            for j in range(6)
+        )
+        cnt = e1.astype(jnp.int32) + e2.astype(jnp.int32)
+        return a, used - 64 * cnt, e_ptr + cnt
 
-    U = _unroll(iters, w_band)
-
-    def one(i, a, used, e_ptr):
+    def insert4(i, a, used):
         w = data_ref[i]
-        base = _mu_base(c_idx * iters + i, params_ref[0], boff, cap_pairs, w_band)
         for j in range(4):
             sym = (w >> (8 * j)) & 255
             a, used = insert(a, used, _lane_lookup(lo_tab[:], hi_tab[:], sym))
-        a, used, e_ptr = emit(a, used, e_ptr, base)
-        return a, used, e_ptr
+        return a, used
 
     def body(jj, st):
         a, used, e_ptr = st
-        for u in range(U):
-            a, used, e_ptr = one(U * jj + u, a, used, e_ptr)
+        for g in range(U // G):
+            i = U * jj + G * g
+            base = _mu_base(
+                c_idx * iters + i, params_ref[0], boff, cap_pairs, W
+            )
+            for b in range(G):
+                a, used = insert4(i + b, a, used)
+            a, used, e_ptr = flush2(a, used, e_ptr, base)
         return a, used, e_ptr
 
     state = (
-        tuple(pltpu.bitcast(carry[j], u32) for j in range(4)),
-        carry[4],
-        carry[5],
+        tuple(pltpu.bitcast(carry[j], u32) for j in range(6)),
+        carry[6],
+        carry[7],
     )
     a, used, e_ptr = jax.lax.fori_loop(0, iters // U, body, state, unroll=False)
-    for j in range(4):
+    for j in range(6):
         carry[j] = pltpu.bitcast(a[j], jnp.int32)
-    carry[4] = used
-    carry[5] = e_ptr
+    carry[6] = used
+    carry[7] = e_ptr
 
     @pl.when(c_idx == n_chunks - 1)
     def _fini():
-        base = _mu_base(k // 4 - 1, params_ref[0], boff, cap_pairs, w_band)
-        flush_pair(a, used > 0, e_ptr, base)
+        base = _mu_base(k // 4 - 1, params_ref[0], boff, cap_pairs, W)
+        rel = e_ptr - base
+        need = used > 0
+        v0 = jnp.where(need, pltpu.bitcast(a[0], jnp.int32), 0)
+        v1 = jnp.where(need, pltpu.bitcast(a[1], jnp.int32), 0)
+        m = iota_pairs == rel[None, None]
+        contrib = jnp.where(m, jnp.stack([v0, v1])[None], 0)
+        window = pay[pl.ds(2 * base, 2 * W)]
+        pay[pl.ds(2 * base, 2 * W)] = window | contrib.reshape(
+            2 * W, SUBLANES, LANES
+        )
         # ship the finished tile payload straight to its COMPACT offset in
         # HBM (row starts are known before packing).  The write covers w_cap
         # rows — real rows then zero padding that overlaps the next tile's
@@ -396,10 +424,13 @@ def _pack_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "w_cap", "w_band", "total_rows", "interpret")
+    jax.jit,
+    static_argnames=(
+        "k", "w_cap", "w_band", "total_rows", "interpret", "flush_g"
+    ),
 )
 def ils_pack(data_i32, params, boffs, row_starts, enc: IlsEncTabs, *, k,
-             w_cap, w_band, total_rows, interpret=False):
+             w_cap, w_band, total_rows, interpret=False, flush_g=None):
     """Pack pass: returns compact payload rows (total_rows + w_cap, 8, 128).
 
     boffs: (n_tiles,) int32 per-tile emission band offsets.
@@ -410,7 +441,9 @@ def ils_pack(data_i32, params, boffs, row_starts, enc: IlsEncTabs, *, k,
     n_tiles = data_i32.shape[0] // (k // 4)
     n_chunks = _n_chunks(k)
     iters = _chunk_iters(k)
-    kern = functools.partial(_pack_kernel, k=k, w_cap=w_cap, w_band=w_band)
+    kern = functools.partial(
+        _pack_kernel, k=k, w_cap=w_cap, w_band=w_band, flush_g=flush_g
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles, n_chunks),
@@ -426,7 +459,7 @@ def ils_pack(data_i32, params, boffs, row_starts, enc: IlsEncTabs, *, k,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((w_cap, SUBLANES, LANES), jnp.int32),
-            pltpu.VMEM((6, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((8, SUBLANES, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

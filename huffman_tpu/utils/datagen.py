@@ -17,13 +17,22 @@ __all__ = ["generate_redundant", "generate_binomial", "generate_single_symbol"]
 def generate_redundant(
     size: int, redundancy: float, seed: int | None = 0
 ) -> np.ndarray:
-    """generate.cpp-style data: low-entropy A-D mixed with uniform bytes."""
+    """generate.cpp-style data: low-entropy A-D mixed with uniform bytes.
+
+    Generated in bounded chunks: the naive vectorized form holds ~40 bytes
+    of float64/int64 temporaries per output byte, which is ~160 GB of RAM
+    at a 4 GB output."""
     redundancy = float(min(max(redundancy, 0.0), 1.0))
     rng = np.random.default_rng(seed)
-    r = rng.random(size)
-    low = ord("A") + rng.integers(0, 4, size=size, dtype=np.int64)
-    full = rng.integers(0, 256, size=size, dtype=np.int64)
-    return np.where(r < redundancy, low, full).astype(np.uint8)
+    out = np.empty(size, np.uint8)
+    chunk = 1 << 26
+    for off in range(0, size, chunk):
+        n = min(chunk, size - off)
+        r = rng.random(n)
+        low = ord("A") + rng.integers(0, 4, size=n, dtype=np.uint8)
+        full = rng.integers(0, 256, size=n, dtype=np.uint8)
+        out[off : off + n] = np.where(r < redundancy, low, full)
+    return out
 
 
 def generate_binomial(size: int, seed: int | None = 0) -> np.ndarray:
