@@ -63,16 +63,23 @@ CHUNK_I = 512
 _BIG = np.int32(1 << 30)
 
 
+def _chunk_iters(k, cap=CHUNK_I):
+    """Bodies per grid chunk: the largest divisor of k//4 that is <= cap
+    (so every k that is a multiple of 4 chunks exactly)."""
+    kq = k // 4
+    if kq <= cap:
+        return kq
+    for it in range(cap, 0, -1):
+        if kq % it == 0:
+            return it
+    return 1
+
+
 def _n_chunks(k):
-    assert (k // 4) % min(k // 4, CHUNK_I) == 0
-    return max((k // 4) // CHUNK_I, 1)
+    return (k // 4) // _chunk_iters(k)
 
 
-def _chunk_iters(k):
-    return min(k // 4, CHUNK_I)
-
-
-def _decode_nt(n_tiles, k, w_cap):
+def _decode_nt():
     """Tiles interleaved per decode grid step.  Measured on v5e: two
     independent decode chains do NOT beat one (the kernel is VPU
     throughput-bound, not latency-bound — interleaved trials showed parity
@@ -337,9 +344,12 @@ def _pack_kernel(
                 a[j] = a[j] | jnp.where(j0 + 1 == j, lo, u32(0))
         return tuple(a), used + ln
 
-    def flush2(a, used, e_ptr, base):
-        """Retire up to two pairs (used>=64, used>=128) in one window RMW."""
-        e1 = used >= 64
+    def flush2(a, used, e_ptr, base, final=False):
+        """Retire up to two pairs (used>=64, used>=128) in one window RMW.
+
+        ``final`` flushes the zero-padded partial pair instead (used>0;
+        used<=63 there, so the second slot never fires)."""
+        e1 = used > 0 if final else used >= 64
         e2 = used >= 128
         rel = e_ptr - base
         v00 = jnp.where(e1, pltpu.bitcast(a[0], jnp.int32), 0)
@@ -401,16 +411,7 @@ def _pack_kernel(
     @pl.when(c_idx == n_chunks - 1)
     def _fini():
         base = _mu_base(k // 4 - 1, params_ref[0], boff, cap_pairs, W)
-        rel = e_ptr - base
-        need = used > 0
-        v0 = jnp.where(need, pltpu.bitcast(a[0], jnp.int32), 0)
-        v1 = jnp.where(need, pltpu.bitcast(a[1], jnp.int32), 0)
-        m = iota_pairs == rel[None, None]
-        contrib = jnp.where(m, jnp.stack([v0, v1])[None], 0)
-        window = pay[pl.ds(2 * base, 2 * W)]
-        pay[pl.ds(2 * base, 2 * W)] = window | contrib.reshape(
-            2 * W, SUBLANES, LANES
-        )
+        flush2(a, used, e_ptr, base, final=True)
         # ship the finished tile payload straight to its COMPACT offset in
         # HBM (row starts are known before packing).  The write covers w_cap
         # rows — real rows then zero padding that overlaps the next tile's
@@ -438,6 +439,11 @@ def ils_pack(data_i32, params, boffs, row_starts, enc: IlsEncTabs, *, k,
     ils_lengths_pass); each tile DMAs its payload directly there, so no
     separate compaction pass exists.  The trailing w_cap rows are slack.
     """
+    if flush_g is not None and flush_g not in (1, 2):
+        raise ValueError(
+            "flush_g must be 1 or 2: the 192-bit accumulator and two-pair "
+            "flush cannot defer more than two bodies"
+        )
     n_tiles = data_i32.shape[0] // (k // 4)
     n_chunks = _n_chunks(k)
     iters = _chunk_iters(k)
@@ -605,8 +611,9 @@ def _decode_kernel(
         s3n = jnp.where(rb, u32(0), s3 << rm)
         return a0, a1, s2n, s3n
 
-    def pair_refill(s, a, valid, pptr, base):
-        need = valid <= 64
+    def _gather_pair(s, need, pptr, base):
+        """Banded one-hot gather of pair ``pptr`` from slot s's window,
+        masked by ``need`` (zeros when no refill)."""
         rel = pptr - base
         window = scratch[s, pl.ds(2 * base, 2 * w_band)]
         w0 = jnp.zeros(shape, jnp.int32)
@@ -617,6 +624,11 @@ def _decode_kernel(
             w1 = w1 | jnp.where(m, window[2 * q + 1], 0)
         w0 = jnp.where(need, pltpu.bitcast(w0, u32), u32(0))
         w1 = jnp.where(need, pltpu.bitcast(w1, u32), u32(0))
+        return w0, w1
+
+    def pair_refill(s, a, valid, pptr, base):
+        need = valid <= 64
+        w0, w1 = _gather_pair(s, need, pptr, base)
         # insert the 64 loaded bits at offset `valid` of the 128-bit register
         v = valid.astype(u32)
         r = v & u32(31)
@@ -644,16 +656,7 @@ def _decode_kernel(
         # buffer.  No 4-word one-hot insert needed.
         a0, a1, s2, s3 = a
         need = valid <= 64
-        rel = pptr - base
-        window = scratch[s, pl.ds(2 * base, 2 * w_band)]
-        w0 = jnp.zeros(shape, jnp.int32)
-        w1 = jnp.zeros(shape, jnp.int32)
-        for q in range(w_band):
-            m = iota_band[q] == rel
-            w0 = w0 | jnp.where(m, window[2 * q], 0)
-            w1 = w1 | jnp.where(m, window[2 * q + 1], 0)
-        w0 = jnp.where(need, pltpu.bitcast(w0, u32), u32(0))
-        w1 = jnp.where(need, pltpu.bitcast(w1, u32), u32(0))
+        w0, w1 = _gather_pair(s, need, pptr, base)
         # X = P >> valid with valid in [1, 64]: shift P >> 1 first so the
         # variable part stays in [0, 63]
         qhi = w0 >> u32(1)
@@ -777,17 +780,18 @@ def ils_decode(
     Returns (n_tiles * k//4, 8, 128) int32 — the original u32 data.
     """
     if nt is None:
-        nt = _decode_nt(n_tiles, k, w_cap)
-    iters = min(k // 4, CHUNK_I // nt)
-    assert (k // 4) % iters == 0
+        nt = _decode_nt()
+    iters = _chunk_iters(k, CHUNK_I // nt)
     n_chunks = (k // 4) // iters
     n_groups = -(-n_tiles // nt)
     pad = n_groups * nt - n_tiles
     if pad:
         # phantom slots re-decode the last tile (its window DMA and output
         # rows are real but discarded below); keeps the grid rectangular
-        row_starts = jnp.concatenate([row_starts, row_starts[-1:]])
-        boffs = jnp.concatenate([boffs, boffs[-1:]])
+        row_starts = jnp.concatenate(
+            [row_starts, jnp.repeat(row_starts[-1:], pad)]
+        )
+        boffs = jnp.concatenate([boffs, jnp.repeat(boffs[-1:], pad)])
     kern = functools.partial(
         _decode_kernel, k=k, w_cap=w_cap, w_band=w_band, max_len=max_len,
         min_len=max(min(min_len, max_len), 1), nt=nt, iters=iters,

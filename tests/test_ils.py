@@ -81,16 +81,17 @@ def test_kernels_match_oracle(r):
 
 
 @pytest.mark.parametrize("lazy", [False, True])
-@pytest.mark.parametrize("nt", [1, 2])
-def test_decode_kernel_variants(lazy, nt):
+@pytest.mark.parametrize("nt,n_tiles", [(1, 2), (2, 2), (2, 3)])
+def test_decode_kernel_variants(lazy, nt, n_tiles):
     # the eager 128-bit-register path and the nt=2 interleaved path are
-    # tuning fallbacks; keep them bit-exact alongside the default
+    # tuning fallbacks; keep them bit-exact alongside the default.
+    # (2, 3) exercises the phantom-slot padding (pad = 1).
     from huffman_tpu.ops.pallas.ils_kernels import ils_decode
     from huffman_tpu.ops.ils import _as_tiles_i32, ils_encode_to_device
     import jax.numpy as jnp
 
     k = 12
-    n = 2 * k * ILS_LANES
+    n = n_tiles * k * ILS_LANES
     data = generate_redundant(n, 0.5, seed=11)
     table = _fit(data)
     enc, dec = ils_enc_tabs(table), ils_dec_tabs(table)
