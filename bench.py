@@ -64,6 +64,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=1 << 28)  # 256 MiB
     ap.add_argument("--redundancy", type=float, default=0.5)
+    ap.add_argument("--input", type=str, default=None,
+                    help="benchmark a real file instead of synthetic data "
+                         "(tiled to a multiple of k*1024 bytes; the tail is "
+                         "cycled to fill the last tile)")
     ap.add_argument("--k", type=int, default=None)
     ap.add_argument("--optimize", choices=["speed", "ratio"], default="speed")
     ap.add_argument("--reps", type=int, default=16)
@@ -83,16 +87,31 @@ def main():
     from huffman_tpu.utils import generate_redundant
 
     log(f"devices: {jax.devices()}")
-    codec0 = IlsCodec.fit(
-        generate_redundant(1 << 20, args.redundancy, seed=0), k=args.k,
-        optimize=args.optimize,
-    )
+    if args.input:
+        raw = np.fromfile(args.input, np.uint8)
+        fit_sample = raw[: 1 << 20]
+    else:
+        fit_sample = generate_redundant(1 << 20, args.redundancy, seed=0)
+    codec0 = IlsCodec.fit(fit_sample, k=args.k, optimize=args.optimize)
     k = codec0.k
     tile_bytes = k * ILS_LANES
-    size = max(args.size // tile_bytes, 1) * tile_bytes
-    log(f"generating {size} bytes (r={args.redundancy}), k={k}, "
-        f"{size // tile_bytes} tiles")
-    data = generate_redundant(size, args.redundancy, seed=0)
+    if args.input:
+        # whole-tile benchmark harness: cycle the file to fill full tiles
+        # (the library/CLI surface handles arbitrary sizes; this harness
+        # measures the kernels, which run on whole tiles)
+        size = max(raw.size // tile_bytes, 1) * tile_bytes
+        if raw.size >= size:
+            data = raw[:size]
+        else:
+            reps = -(-size // raw.size)
+            data = np.tile(raw, reps)[:size]
+        log(f"input file {args.input}: {raw.size} bytes -> {size} "
+            f"benchmarked bytes, k={k}, {size // tile_bytes} tiles")
+    else:
+        size = max(args.size // tile_bytes, 1) * tile_bytes
+        log(f"generating {size} bytes (r={args.redundancy}), k={k}, "
+            f"{size // tile_bytes} tiles")
+        data = generate_redundant(size, args.redundancy, seed=0)
 
     t0 = time.perf_counter()
     codec = IlsCodec.fit(data, k=k)
@@ -183,7 +202,8 @@ def main():
             "encode_gbps_1chip": round(enc_gbps, 4),
             "compression_ratio": round(ratio, 5),
             "size_bytes": size,
-            "redundancy": args.redundancy,
+            "redundancy": None if args.input else args.redundancy,
+            "input": args.input,
             "k": p.k,
             "w_band": p.w_band,
             "verified": ok,

@@ -26,11 +26,13 @@ from ..core.ils_ref import (
 from .pallas.ils_kernels import (
     IlsDecTabs,
     IlsEncTabs,
+    ils_compact,
     ils_dec_tabs,
     ils_decode,
     ils_enc_tabs,
     ils_lengths_pass,
     ils_pack,
+    ils_pack_certify,
 )
 
 __all__ = [
@@ -57,6 +59,10 @@ VMEM_ROW_BUDGET = 2800
 # smallest k the retry path falls back to (a 2048-symbol stream is at most
 # 1024 words, always within budget)
 MIN_K = 2048
+
+# fused certify+pack writes at worst-case tile stride; the stride must fit
+# the pack scratch alongside the data chunks (see VMEM_ROW_BUDGET)
+FUSED_STRIDE_BUDGET = 2048
 
 
 class IlsVmemError(ValueError):
@@ -127,49 +133,79 @@ def ils_encode_to_device(
     payload_rows stays on device (compacted, with w_cap slack rows); only
     small per-tile metadata syncs to host.  D2H traffic is O(n_tiles), not
     O(payload) — essential when the host link is slow.
+
+    Fast path: ONE fused certify+pack pass over the data at worst-case tile
+    stride, then a DMA compaction (`ils_pack_certify` + `ils_compact`).
+    Falls back to the two-pass path (schedule pass, then banded pack) when
+    the worst-case stride exceeds VMEM or when any tile's emissions leave
+    the fused path's estimated band (flagged exactly; see FUSED_E_BAND).
     """
     n_tiles = data_i32.shape[0] // (k // 4)
     snum = ils_schedule_numer(avg_bits)
     params_j = jnp.asarray(np.array([snum, 0], np.int32))
+
+    def finish(bits_dev, dn_dev, dx_dev):
+        # even word counts (pair granularity), >= 4 for the 128-bit
+        # register init
+        w_tiles = np.asarray(
+            jnp.maximum(2 * (-(-jnp.max(bits_dev, axis=(1, 2)) // 64)), 4)
+        ).astype(np.int64)
+        dec_min = np.asarray(jnp.min(dn_dev, axis=(1, 2)))
+        dec_max = np.asarray(jnp.max(dx_dev, axis=(1, 2)))
+        w_cap = round_cap(int(w_tiles.max()))
+        if w_cap > VMEM_ROW_BUDGET and k > MIN_K:
+            raise IlsVmemError(
+                f"k={k} with w_cap={w_cap} exceeds the VMEM row budget; "
+                "re-encode with a smaller k"
+            )
+        dec_span = int(np.maximum(dec_max - dec_min, 0).max(initial=0))
+        w_band = min(round_band(dec_span + 2), w_cap // 2)  # in pairs
+        boffs = np.where(dec_min <= dec_max, dec_min, 0).astype(np.int32)
+        params = IlsParams(
+            k=k, snum=snum, boffs=boffs, w_band=int(w_band),
+            w_cap=int(w_cap), w_tiles=w_tiles.astype(np.int32),
+            n_tiles=n_tiles,
+        )
+        return params, dec_min, dec_max
+
+    # worst-case rows per tile from the table's longest present codeword
+    max_len = int(
+        max(int(np.asarray(enc.lo).max()), int(np.asarray(enc.hi).max()))
+    ) >> 20
+    stride_rows = max(2 * (-(-k * max_len // 64)), 4)
+    if stride_rows <= FUSED_STRIDE_BUDGET:
+        pay_s, bits, dn, dx, viol = ils_pack_certify(
+            data_i32, params_j, enc, k=k, stride_rows=stride_rows,
+            interpret=interpret,
+        )
+        if not int(jnp.max(viol)):
+            params, _, _ = finish(bits, dn, dx)
+            row_starts_dev = jnp.asarray(
+                params.row_starts[:-1].astype(np.int32)
+            )
+            payload_rows = ils_compact(
+                pay_s, row_starts_dev, stride_rows=stride_rows,
+                w_cap=params.w_cap, total_rows=params.total_rows,
+                interpret=interpret,
+            )
+            return payload_rows, row_starts_dev, params
+        # out-of-band emission (pathological schedule): certify first
+
     bits, dec_min, dec_max, enc_min, enc_max = ils_lengths_pass(
         data_i32, params_j, enc, k=k, interpret=interpret
     )
-    # even word counts (pair granularity), >= 4 for the 128-bit register init
-    w_tiles = np.asarray(
-        jnp.maximum(2 * (-(-jnp.max(bits, axis=(1, 2)) // 64)), 4)
-    ).astype(np.int64)
-    dec_min = np.asarray(jnp.min(dec_min, axis=(1, 2)))
-    dec_max = np.asarray(jnp.max(dec_max, axis=(1, 2)))
+    params, _, _ = finish(bits, dec_min, dec_max)
     enc_min = np.asarray(jnp.min(enc_min, axis=(1, 2)))
     enc_max = np.asarray(jnp.max(enc_max, axis=(1, 2)))
-
-    w_cap = round_cap(int(w_tiles.max()))
-    if w_cap > VMEM_ROW_BUDGET and k > MIN_K:
-        raise IlsVmemError(
-            f"k={k} with w_cap={w_cap} exceeds the VMEM row budget; "
-            "re-encode with a smaller k"
-        )
-    dec_span = int(np.maximum(dec_max - dec_min, 0).max(initial=0))
     enc_span = int(np.maximum(enc_max - enc_min, 0).max(initial=0))
-    w_band = min(round_band(dec_span + 2), w_cap // 2)  # in pairs
-    w_band_enc = min(round_band(enc_span + 2), w_cap // 2)
-    boffs = np.where(dec_min <= dec_max, dec_min, 0).astype(np.int32)
+    w_band_enc = min(round_band(enc_span + 2), params.w_cap // 2)
     boffs_enc = np.where(enc_min <= enc_max, enc_min, 0).astype(np.int32)
-    params = IlsParams(
-        k=k,
-        snum=snum,
-        boffs=boffs,
-        w_band=int(w_band),
-        w_cap=int(w_cap),
-        w_tiles=w_tiles.astype(np.int32),
-        n_tiles=n_tiles,
-    )
 
     row_starts_dev = jnp.asarray(params.row_starts[:-1].astype(np.int32))
     payload_rows = ils_pack(
         data_i32, params_j, jnp.asarray(boffs_enc), row_starts_dev, enc,
-        k=k, w_cap=w_cap, w_band=w_band_enc, total_rows=params.total_rows,
-        interpret=interpret,
+        k=k, w_cap=params.w_cap, w_band=w_band_enc,
+        total_rows=params.total_rows, interpret=interpret,
     )
     return payload_rows, row_starts_dev, params
 

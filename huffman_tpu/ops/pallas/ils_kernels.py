@@ -480,6 +480,288 @@ def ils_pack(data_i32, params, boffs, row_starts, enc: IlsEncTabs, *, k,
 
 
 # ----------------------------------------------------------------------
+# Fused certify + pack (single data pass)
+# ----------------------------------------------------------------------
+# Emission band guess for the fused path, in pairs, centered on mu.  The
+# certified schedule is only measured DURING this pass, so the pack cannot
+# know each tile's emission envelope up front; measured lane deviations are
+# ~[-10, +15] pairs, so a 32-pair window centered at mu-16 covers real data
+# with wide margin.  Any emission falling outside raises the per-tile
+# violation flag and the caller falls back to the two-pass path — the flag,
+# not the estimate, carries correctness.
+FUSED_E_BAND = 32
+
+
+def _pack_certify_kernel(
+    params_ref, lo_tab, hi_tab, data_ref,
+    out_pay, bits_ref, dnmin_ref, dnmax_ref, viol_ref,
+    pay, carry, sem, *, k, stride_rows, e_band, flush_g
+):
+    """One-pass encode: pack into a worst-case-stride payload region while
+    simulating the decoder's refill schedule (the certification that
+    `ils_lengths_pass` produces in the two-pass path).
+
+    Per tile outputs: total bits, decode-refill deviation envelope, and an
+    emission-out-of-band violation flag.  Payload for tile t occupies rows
+    [t*stride_rows, (t+1)*stride_rows) of out_pay; `ils_compact` squeezes
+    tiles to their measured row counts afterwards."""
+    t = pl.program_id(0)
+    c_idx = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    iters = _chunk_iters(k)
+    shape = (SUBLANES, LANES)
+    u32 = jnp.uint32
+    cap_pairs = stride_rows // 2
+    boff_est = -(e_band // 2)
+
+    U = _unroll(iters, e_band)
+    G = flush_g if flush_g and U % flush_g == 0 else (2 if U % 2 == 0 else 1)
+    W = min(e_band + G, cap_pairs)
+    iota_pairs = jax.lax.broadcasted_iota(
+        jnp.int32, (W, 1, SUBLANES, LANES), 0
+    )
+
+    @pl.when(c_idx == 0)
+    def _init():
+        pay[:] = jnp.zeros((stride_rows, SUBLANES, LANES), jnp.int32)
+        for j in range(6):
+            carry[j] = jnp.zeros(shape, jnp.int32)  # 192-bit accumulator
+        carry[6] = jnp.zeros(shape, jnp.int32)   # used
+        carry[7] = jnp.zeros(shape, jnp.int32)   # e_ptr (pairs)
+        carry[8] = jnp.full(shape, 128, jnp.int32)  # dec sim: valid
+        carry[9] = jnp.full(shape, 2, jnp.int32)    # dec sim: pptr
+        carry[10] = jnp.full(shape, _BIG, jnp.int32)   # dec dev min
+        carry[11] = jnp.full(shape, -_BIG, jnp.int32)  # dec dev max
+        carry[12] = jnp.zeros(shape, jnp.int32)  # emission violation
+
+    def insert(a, used, entry):
+        ln = entry >> 20
+        code = (entry & 0xFFFF).astype(u32)
+        lns = ln.astype(u32)
+        c_left = code << (u32(32) - lns)
+        useds = used.astype(u32)
+        r = useds & u32(31)
+        j0 = used >> 5
+        hi = c_left >> r
+        lo = (c_left << u32(1)) << ((u32(31) - r) & u32(31))
+        a = list(a)
+        for j in range(6):
+            a[j] = a[j] | jnp.where(j0 == j, hi, u32(0))
+            if j >= 1:
+                a[j] = a[j] | jnp.where(j0 + 1 == j, lo, u32(0))
+        return tuple(a), used + ln
+
+    def flush2(a, used, e_ptr, base, viol, final=False):
+        e1 = used > 0 if final else used >= 64
+        e2 = used >= 128
+        rel = e_ptr - base
+        viol = viol | (
+            (e1 & ((rel < 0) | (rel >= W)))
+            | (e2 & ((rel + 1 < 0) | (rel + 1 >= W)))
+        ).astype(jnp.int32)
+        v00 = jnp.where(e1, pltpu.bitcast(a[0], jnp.int32), 0)
+        v01 = jnp.where(e1, pltpu.bitcast(a[1], jnp.int32), 0)
+        v10 = jnp.where(e2, pltpu.bitcast(a[2], jnp.int32), 0)
+        v11 = jnp.where(e2, pltpu.bitcast(a[3], jnp.int32), 0)
+        relc = jnp.clip(rel, 0, W - 1)
+        m1 = iota_pairs == relc[None, None]
+        m2 = iota_pairs == jnp.clip(rel + 1, 0, W - 1)[None, None]
+        # out-of-band contributions are zeroed (the viol flag already voids
+        # the whole tile) so the clipped position stays clean
+        v00 = jnp.where((rel >= 0) & (rel < W), v00, 0)
+        v01 = jnp.where((rel >= 0) & (rel < W), v01, 0)
+        v10 = jnp.where((rel + 1 >= 0) & (rel + 1 < W), v10, 0)
+        v11 = jnp.where((rel + 1 >= 0) & (rel + 1 < W), v11, 0)
+        contrib = jnp.where(m1, jnp.stack([v00, v01])[None], 0) | jnp.where(
+            m2, jnp.stack([v10, v11])[None], 0
+        )
+        window = pay[pl.ds(2 * base, 2 * W)]
+        pay[pl.ds(2 * base, 2 * W)] = window | contrib.reshape(
+            2 * W, SUBLANES, LANES
+        )
+        a = tuple(
+            jnp.where(
+                e2,
+                a[j + 4] if j + 4 < 6 else u32(0),
+                jnp.where(e1, a[j + 2] if j + 2 < 6 else u32(0), a[j]),
+            )
+            for j in range(6)
+        )
+        cnt = e1.astype(jnp.int32) + e2.astype(jnp.int32)
+        return a, used - 64 * cnt, e_ptr + cnt, viol
+
+    def body(jj, st):
+        a, used, e_ptr, valid, pptr, dn, dx, viol = st
+        for g in range(U // G):
+            i = U * jj + G * g
+            gi0 = c_idx * iters + i
+            base = _mu_base(gi0, params_ref[0], boff_est, cap_pairs, W)
+            for b in range(G):
+                w = data_ref[i + b]
+                used0 = used
+                for j in range(4):
+                    sym = (w >> (8 * j)) & 255
+                    a, used = insert(
+                        a, used, _lane_lookup(lo_tab[:], hi_tab[:], sym)
+                    )
+                # decoder-schedule simulation (certification), body-exact:
+                # matches _lengths_kernel's event cadence and mu
+                l4 = used - used0
+                mu = ((gi0 + b) * params_ref[0]) >> 16
+                valid = valid - l4
+                refill = valid <= 64
+                dev = pptr - mu
+                dn = jnp.minimum(dn, jnp.where(refill, dev, _BIG))
+                dx = jnp.maximum(dx, jnp.where(refill, dev, -_BIG))
+                pptr = pptr + refill.astype(jnp.int32)
+                valid = valid + jnp.where(refill, 64, 0)
+            a, used, e_ptr, viol = flush2(a, used, e_ptr, base, viol)
+        return a, used, e_ptr, valid, pptr, dn, dx, viol
+
+    state = (
+        tuple(pltpu.bitcast(carry[j], u32) for j in range(6)),
+        carry[6], carry[7], carry[8], carry[9],
+        carry[10], carry[11], carry[12],
+    )
+    st = jax.lax.fori_loop(0, iters // U, body, state, unroll=False)
+    a, used, e_ptr, valid, pptr, dn, dx, viol = st
+    for j in range(6):
+        carry[j] = pltpu.bitcast(a[j], jnp.int32)
+    carry[6], carry[7], carry[8], carry[9] = used, e_ptr, valid, pptr
+    carry[10], carry[11], carry[12] = dn, dx, viol
+
+    @pl.when(c_idx == n_chunks - 1)
+    def _fini():
+        bits_ref[0] = 64 * e_ptr + used
+        dnmin_ref[0] = dn
+        dnmax_ref[0] = dx
+        base = _mu_base(k // 4 - 1, params_ref[0], boff_est, cap_pairs, W)
+        _, _, _, viol2 = flush2(a, used, e_ptr, base, viol, final=True)
+        viol_ref[0] = viol2
+        dma = pltpu.make_async_copy(
+            pay, out_pay.at[pl.ds(t * stride_rows, stride_rows)], sem
+        )
+        dma.start()
+        dma.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "stride_rows", "interpret", "flush_g", "e_band"),
+)
+def ils_pack_certify(data_i32, params, enc: IlsEncTabs, *, k, stride_rows,
+                     interpret=False, flush_g=None, e_band=FUSED_E_BAND):
+    """Fused single-pass encode at worst-case tile stride.
+
+    Returns (payload_strided (n_tiles*stride_rows + stride_rows, 8, 128),
+    bits, dec_min, dec_max, viol — each (n_tiles, 8, 128) int32).  The
+    trailing stride_rows rows are zero slack for `ils_compact`'s
+    over-reads.  If any element of viol is nonzero the payload is void and
+    the caller must use the two-pass path."""
+    if flush_g is not None and flush_g not in (1, 2):
+        raise ValueError("flush_g must be 1 or 2")
+    n_tiles = data_i32.shape[0] // (k // 4)
+    n_chunks = _n_chunks(k)
+    iters = _chunk_iters(k)
+    kern = functools.partial(
+        _pack_certify_kernel, k=k, stride_rows=stride_rows, e_band=e_band,
+        flush_g=flush_g,
+    )
+    small = pl.BlockSpec(
+        (1, SUBLANES, LANES), lambda t, c, p: (t, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((SUBLANES, LANES), lambda t, c, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, c, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (iters, SUBLANES, LANES),
+                lambda t, c, p: (t * n_chunks + c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            small, small, small, small,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((stride_rows, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((13, SUBLANES, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    small_sd = jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                ((n_tiles + 1) * stride_rows, SUBLANES, LANES), jnp.int32
+            ),
+            small_sd, small_sd, small_sd, small_sd,
+        ],
+        interpret=interpret,
+    )(params, enc.lo, enc.hi, data_i32)
+
+
+def _compact_kernel(starts_ref, src_ref, out_ref, buf, sem, *, stride_rows,
+                    w_cap):
+    """Copy each tile's strided payload region to its compact row offset.
+
+    Reads w_cap rows from the tile's stride region (over-reads spill into
+    the next tile's region or the trailing slack; those rows land in this
+    tile's compact slack and are overwritten by the next tile's copy —
+    grid steps run in tile order, the same overlap discipline as the
+    two-pass pack's direct DMA)."""
+    t = pl.program_id(0)
+    dma_in = pltpu.make_async_copy(
+        src_ref.at[pl.ds(t * stride_rows, w_cap)], buf, sem
+    )
+    dma_in.start()
+    dma_in.wait()
+    dma_out = pltpu.make_async_copy(
+        buf, out_ref.at[pl.ds(starts_ref[t], w_cap)], sem
+    )
+    dma_out.start()
+    dma_out.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stride_rows", "w_cap", "total_rows", "interpret"),
+)
+def ils_compact(payload_strided, row_starts, *, stride_rows, w_cap,
+                total_rows, interpret=False):
+    """Compact a strided fused-pack payload to the standard dense layout
+    (total_rows + w_cap slack rows)."""
+    n_tiles = row_starts.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((w_cap, SUBLANES, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kern = functools.partial(
+        _compact_kernel, stride_rows=stride_rows, w_cap=w_cap
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (total_rows + w_cap, SUBLANES, LANES), jnp.int32
+        ),
+        interpret=interpret,
+    )(row_starts, payload_strided)
+
+
+# ----------------------------------------------------------------------
 # Decode
 # ----------------------------------------------------------------------
 def _decode_kernel(

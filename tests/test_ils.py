@@ -125,6 +125,57 @@ def test_decode_odd_tile_counts(n_tiles):
     assert np.array_equal(out, data)
 
 
+def test_fused_pack_violation_falls_back():
+    # one stream of all-rare (max-length) codes drifts far outside the
+    # fused path's estimated emission band: the kernel must flag it and
+    # ils_encode_to_device must fall back to the certified two-pass path
+    import jax.numpy as jnp
+
+    from huffman_tpu.core.ils_ref import ils_schedule_numer
+    from huffman_tpu.ops.ils import _as_tiles_i32
+    from huffman_tpu.ops.pallas.ils_kernels import ils_pack_certify
+
+    k = 48  # with e_band=2 the skewed stream escapes within a few bodies
+    n = k * ILS_LANES
+    data = np.zeros(n, np.uint8)
+    rare = np.arange(1, 256, dtype=np.uint8)
+    data[::129] = rare[np.arange((n + 128) // 129) % 255]
+    u32_idx = np.arange(5, n // 4, ILS_LANES)  # stream 5: all rare bytes
+    byte_idx = (u32_idx[:, None] * 4 + np.arange(4)[None]).reshape(-1)
+    data[byte_idx] = rare[np.arange(byte_idx.size) % 255]
+    table = _fit(data)
+    enc = ils_enc_tabs(table)
+    avg = float(table.lengths.astype(np.int64)[data].mean())
+    ml = int(table.max_len_present)
+    stride_rows = max(2 * (-(-k * ml // 64)), 4)
+    snum = ils_schedule_numer(avg)
+    params = jnp.asarray(np.array([snum, 0], np.int32))
+    data_i32 = jnp.asarray(_as_tiles_i32(data, k))
+    _, _, _, _, viol = ils_pack_certify(
+        data_i32, params, enc, k=k, stride_rows=stride_rows, interpret=True,
+        e_band=2,
+    )
+    assert int(jnp.max(viol)) == 1  # the skewed stream leaves the band
+
+
+def test_encode_two_pass_fallback(monkeypatch):
+    # force the fused-path gate off: the certified two-pass encode must
+    # still produce oracle-identical containers
+    import huffman_tpu.ops.ils as ils_ops
+
+    monkeypatch.setattr(ils_ops, "FUSED_STRIDE_BUDGET", 0)
+    k = 12
+    n = 2 * k * ILS_LANES
+    data = generate_redundant(n, 0.5, seed=4)
+    table = _fit(data)
+    enc, dec = ils_enc_tabs(table), ils_dec_tabs(table)
+    avg = float(table.lengths.astype(np.int64)[data].mean())
+    payload_np, params_np = ils_encode_np(data, table, k)
+    sec = ils_encode_device(data, table, enc, k=k, avg_bits=avg, interpret=True)
+    assert np.array_equal(sec.payload, payload_np)
+    assert np.array_equal(ils_decode_device(sec, table, dec, interpret=True), data)
+
+
 def test_schedule_simulation_envelope():
     # all-same-symbol input: zero deviation from a constant-length schedule
     k = 16
