@@ -1,7 +1,8 @@
 """Device orchestration for the interleaved-stream (ILS) codec.
 
-Encode = two kernel passes (schedule certification, then banded bit-pack
-that DMAs each tile straight to its compact payload offset); decode = ONE
+Encode = ONE fused certify+pack pass plus a DMA compaction (falling back
+to two passes — schedule certification, then banded bit-pack — for
+pathological schedules or oversized worst-case strides); decode = ONE
 kernel dispatch whose int32 output *is* the original data (see
 `core/ils_ref.py` for the layout).  These functions speak NumPy at the
 boundary — the byte<->u32 reinterpretation is a zero-copy little-endian

@@ -1,8 +1,13 @@
 """Pallas TPU kernels for the interleaved-stream (ILS) layout.
 
-Three kernels over tiles of 1024 lanes (see `core/ils_ref.py` for the layout
+Kernels over tiles of 1024 lanes (see `core/ils_ref.py` for the layout
 contract and the schedule proof):
 
+- ``ils_pack_certify`` + ``ils_compact``: the default SINGLE-PASS encode —
+  pack at worst-case tile stride while simulating the decoder's refill
+  schedule (the certification), then DMA-compact tiles to their measured
+  row counts.  Falls back to the two passes below on out-of-band emission
+  or oversized stride.
 - ``ils_lengths_pass``: simulates the decoder-refill / encoder-emission
   schedule from codeword lengths only, returning per-stream total bits and
   the deviation envelope that sizes the refill band.  Plays the role of the
@@ -47,6 +52,8 @@ __all__ = [
     "ils_dec_tabs",
     "ils_lengths_pass",
     "ils_pack",
+    "ils_pack_certify",
+    "ils_compact",
     "ils_decode",
 ]
 
@@ -166,6 +173,27 @@ def _mu_base(i, snum, boff, w_cap, w_band):
     """Clamped refill-window base row for body iteration i (scalars)."""
     mu = (i * snum) >> 16
     return jnp.clip(mu + boff, 0, w_cap - w_band)
+
+
+def _acc_insert(a, used, entry):
+    """OR one codeword into a 6-word (192-bit) MSB-first accumulator at bit
+    offset ``used``.  entry = (len << 20) | code; codes are <= 16 bits so a
+    word-crossing spill touches at most the next word."""
+    u32 = jnp.uint32
+    ln = entry >> 20
+    code = (entry & 0xFFFF).astype(u32)
+    lns = ln.astype(u32)
+    c_left = code << (u32(32) - lns)
+    r = used.astype(u32) & u32(31)
+    j0 = used >> 5  # word containing bit offset `used`; 0..5
+    hi = c_left >> r
+    lo = (c_left << u32(1)) << ((u32(31) - r) & u32(31))
+    a = list(a)
+    for j in range(6):
+        a[j] = a[j] | jnp.where(j0 == j, hi, u32(0))
+        if j >= 1:
+            a[j] = a[j] | jnp.where(j0 + 1 == j, lo, u32(0))
+    return tuple(a), used + ln
 
 
 # ----------------------------------------------------------------------
@@ -327,23 +355,6 @@ def _pack_kernel(
         carry[6] = jnp.zeros(shape, jnp.int32)  # used
         carry[7] = jnp.zeros(shape, jnp.int32)  # e_ptr (pairs)
 
-    def insert(a, used, entry):
-        ln = entry >> 20
-        code = (entry & 0xFFFF).astype(u32)
-        lns = ln.astype(u32)
-        c_left = code << (u32(32) - lns)
-        useds = used.astype(u32)
-        r = useds & u32(31)
-        j0 = used >> 5  # word containing bit offset `used`; 0..5
-        hi = c_left >> r
-        lo = (c_left << u32(1)) << ((u32(31) - r) & u32(31))
-        a = list(a)
-        for j in range(6):
-            a[j] = a[j] | jnp.where(j0 == j, hi, u32(0))
-            if j >= 1:
-                a[j] = a[j] | jnp.where(j0 + 1 == j, lo, u32(0))
-        return tuple(a), used + ln
-
     def flush2(a, used, e_ptr, base, final=False):
         """Retire up to two pairs (used>=64, used>=128) in one window RMW.
 
@@ -382,7 +393,9 @@ def _pack_kernel(
         w = data_ref[i]
         for j in range(4):
             sym = (w >> (8 * j)) & 255
-            a, used = insert(a, used, _lane_lookup(lo_tab[:], hi_tab[:], sym))
+            a, used = _acc_insert(
+                a, used, _lane_lookup(lo_tab[:], hi_tab[:], sym)
+            )
         return a, used
 
     def body(jj, st):
@@ -534,23 +547,6 @@ def _pack_certify_kernel(
         carry[11] = jnp.full(shape, -_BIG, jnp.int32)  # dec dev max
         carry[12] = jnp.zeros(shape, jnp.int32)  # emission violation
 
-    def insert(a, used, entry):
-        ln = entry >> 20
-        code = (entry & 0xFFFF).astype(u32)
-        lns = ln.astype(u32)
-        c_left = code << (u32(32) - lns)
-        useds = used.astype(u32)
-        r = useds & u32(31)
-        j0 = used >> 5
-        hi = c_left >> r
-        lo = (c_left << u32(1)) << ((u32(31) - r) & u32(31))
-        a = list(a)
-        for j in range(6):
-            a[j] = a[j] | jnp.where(j0 == j, hi, u32(0))
-            if j >= 1:
-                a[j] = a[j] | jnp.where(j0 + 1 == j, lo, u32(0))
-        return tuple(a), used + ln
-
     def flush2(a, used, e_ptr, base, viol, final=False):
         e1 = used > 0 if final else used >= 64
         e2 = used >= 128
@@ -601,7 +597,7 @@ def _pack_certify_kernel(
                 used0 = used
                 for j in range(4):
                     sym = (w >> (8 * j)) & 255
-                    a, used = insert(
+                    a, used = _acc_insert(
                         a, used, _lane_lookup(lo_tab[:], hi_tab[:], sym)
                     )
                 # decoder-schedule simulation (certification), body-exact:
