@@ -165,29 +165,52 @@ def main():
             return acc
         return f
 
+    # mirror the library's encode path: fused certify+pack+compact when the
+    # worst-case stride fits VMEM, the certified two-pass pipeline otherwise
+    from huffman_tpu.ops.ils import FUSED_STRIDE_BUDGET
+    from huffman_tpu.ops.pallas.ils_kernels import ils_compact, ils_pack_certify
+
+    stride_rows = max(2 * (-(-p.k * maxlen // 64)), 4)
+    fused = stride_rows <= FUSED_STRIDE_BUDGET
+    log(f"encode path: {'fused 1-pass' if fused else 'two-pass'} "
+        f"(stride_rows={stride_rows})")
+
     def mk_encode(R):
         @jax.jit
         def f(data0):
             def body(i, carry):
                 acc, d = carry
                 d = d.at[0, 0, 0].set(d[0, 0, 0] ^ 1)
-                bits = ils_lengths_pass(d, params, enc, k=p.k)[0]
-                payload = ils_pack(d, params, boffs, row_starts, enc, k=p.k,
-                                   w_cap=p.w_cap, w_band=p.w_band,
-                                   total_rows=p.total_rows)
-                return acc ^ payload[0, 0, :8] ^ bits[0, 0, :8], d
+                if fused:
+                    pay_s, bits, dn, dx, viol = ils_pack_certify(
+                        d, params, enc, k=p.k, stride_rows=stride_rows)
+                    payload = ils_compact(
+                        pay_s, row_starts, stride_rows=stride_rows,
+                        w_cap=p.w_cap, total_rows=p.total_rows)
+                    acc = acc ^ payload[0, 0, :8] ^ bits[0, 0, :8] ^ viol[0, 0, :8]
+                else:
+                    bits = ils_lengths_pass(d, params, enc, k=p.k)[0]
+                    payload = ils_pack(d, params, boffs, row_starts, enc,
+                                       k=p.k, w_cap=p.w_cap, w_band=p.w_band,
+                                       total_rows=p.total_rows)
+                    acc = acc ^ payload[0, 0, :8] ^ bits[0, 0, :8]
+                return acc, d
             acc, _ = jax.lax.fori_loop(
                 0, R, body, (jnp.zeros(8, jnp.int32), data0))
             return acc
         return f
 
     main_bytes = p.n_tiles * p.k * ILS_LANES
-    t_dec = measure_chained(mk_decode, max(args.reps // 4, 1), args.reps,
-                            payload_rows)
+    # scale chained reps so tiny inputs still span many timer ticks (the
+    # 64 MB reference point keeps reps=args.reps)
+    reps = min(args.reps * max((1 << 26) // main_bytes, 1), 512)
+    t_dec = measure_chained(mk_decode, max(reps // 4, 1), reps, payload_rows)
     dec_gbps = main_bytes / t_dec / 1e9
     log(f"decode: {dec_gbps:.3f} GB/s ({t_dec * 1e3:.2f} ms / {main_bytes} B)")
-    t_enc = measure_chained(mk_encode, max(args.reps // 4, 1), args.reps,
-                            data_i32)
+    # free the compact payload before the encode chain: at 4 GB inputs the
+    # fused path's strided intermediate plus the held payload exceeds HBM
+    payload_rows = None
+    t_enc = measure_chained(mk_encode, max(reps // 4, 1), reps, data_i32)
     enc_gbps = main_bytes / t_enc / 1e9
     log(f"encode (certify+pack kernels): {enc_gbps:.3f} GB/s ({t_enc * 1e3:.2f} ms)")
     log(f"vs sequential.cpp decode baseline ({BASELINE_DECODE_GBPS:.5f} GB/s): "
