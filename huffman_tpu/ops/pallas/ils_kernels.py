@@ -95,11 +95,12 @@ def _decode_nt():
     return 1
 
 
-def _unroll(iters, w_band=0):
+def _unroll(iters, w_band=0, interpret=False):
     """Body-iteration unroll factor: loop overhead dominates the decode/pack
     inner loops (U=16 measured best on v5e, slightly ahead of U=8).  Wide
     refill bands (pathological schedules) shrink the factor so the traced
-    body stays bounded."""
+    body stays bounded; interpret mode caps at 4 because CPU XLA chokes on
+    the production-k traced body (tens of minutes to compile at U=16)."""
     if w_band > 192:
         cap = 1
     elif w_band > 96:
@@ -108,6 +109,8 @@ def _unroll(iters, w_band=0):
         cap = 4
     else:
         cap = 16
+    if interpret:
+        cap = min(cap, 4)
     for u in (16, 8, 4, 2):
         if u <= cap and iters % u == 0:
             return u
@@ -201,7 +204,8 @@ def _acc_insert(a, used, entry):
 # ----------------------------------------------------------------------
 def _lengths_kernel(
     params_ref, lenlo_ref, lenhi_ref, data_ref,
-    bits_ref, dnmin_ref, dnmax_ref, enmin_ref, enmax_ref, carry, *, k
+    bits_ref, dnmin_ref, dnmax_ref, enmin_ref, enmax_ref, carry, *, k,
+    interpret
 ):
     """Schedule-v2 certification: one pair event per 4-symbol body."""
     shape = (SUBLANES, LANES)
@@ -220,7 +224,7 @@ def _lengths_kernel(
         carry[6] = jnp.full(shape, _BIG, jnp.int32)
         carry[7] = jnp.full(shape, -_BIG, jnp.int32)
 
-    U = _unroll(iters)  # lengths pass has no band
+    U = _unroll(iters, interpret=interpret)  # lengths pass has no band
 
     def one(i, valid, used, pptr, e_ptr, dn, dx, en, ex):
         w = data_ref[i]
@@ -282,7 +286,7 @@ def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
     n_tiles = data_i32.shape[0] // (k // 4)
     n_chunks = _n_chunks(k)
     iters = _chunk_iters(k)
-    kern = functools.partial(_lengths_kernel, k=k)
+    kern = functools.partial(_lengths_kernel, k=k, interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles, n_chunks),
@@ -317,7 +321,7 @@ def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
 # ----------------------------------------------------------------------
 def _pack_kernel(
     params_ref, boffs_ref, starts_ref, lo_tab, hi_tab, data_ref, out_ref,
-    pay, carry, sem, *, k, w_cap, w_band, flush_g
+    pay, carry, sem, *, k, w_cap, w_band, flush_g, interpret
 ):
     """Schedule-v2 pack: 192-bit accumulator, deferred two-body flush.
 
@@ -340,7 +344,7 @@ def _pack_kernel(
     u32 = jnp.uint32
     cap_pairs = w_cap // 2
 
-    U = _unroll(iters, w_band)
+    U = _unroll(iters, w_band, interpret)
     G = flush_g if flush_g and U % flush_g == 0 else (2 if U % 2 == 0 else 1)
     W = min(w_band + G, cap_pairs)  # flush window width (pairs)
     iota_pairs = jax.lax.broadcasted_iota(
@@ -461,7 +465,8 @@ def ils_pack(data_i32, params, boffs, row_starts, enc: IlsEncTabs, *, k,
     n_chunks = _n_chunks(k)
     iters = _chunk_iters(k)
     kern = functools.partial(
-        _pack_kernel, k=k, w_cap=w_cap, w_band=w_band, flush_g=flush_g
+        _pack_kernel, k=k, w_cap=w_cap, w_band=w_band, flush_g=flush_g,
+        interpret=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -508,7 +513,7 @@ FUSED_E_BAND = 32
 def _pack_certify_kernel(
     params_ref, lo_tab, hi_tab, data_ref,
     out_pay, bits_ref, dnmin_ref, dnmax_ref, viol_ref,
-    pay, carry, sem, *, k, stride_rows, e_band, flush_g
+    pay, carry, sem, *, k, stride_rows, e_band, flush_g, interpret
 ):
     """One-pass encode: pack into a worst-case-stride payload region while
     simulating the decoder's refill schedule (the certification that
@@ -527,7 +532,7 @@ def _pack_certify_kernel(
     cap_pairs = stride_rows // 2
     boff_est = -(e_band // 2)
 
-    U = _unroll(iters, e_band)
+    U = _unroll(iters, e_band, interpret)
     G = flush_g if flush_g and U % flush_g == 0 else (2 if U % 2 == 0 else 1)
     W = min(e_band + G, cap_pairs)
     iota_pairs = jax.lax.broadcasted_iota(
@@ -661,7 +666,7 @@ def ils_pack_certify(data_i32, params, enc: IlsEncTabs, *, k, stride_rows,
     iters = _chunk_iters(k)
     kern = functools.partial(
         _pack_certify_kernel, k=k, stride_rows=stride_rows, e_band=e_band,
-        flush_g=flush_g,
+        flush_g=flush_g, interpret=interpret,
     )
     small = pl.BlockSpec(
         (1, SUBLANES, LANES), lambda t, c, p: (t, 0, 0),
@@ -783,6 +788,7 @@ def _decode_kernel(
     iters,
     unroll,
     lazy,
+    interpret,
 ):
     """Schedule-v2 decode: 128-bit register, one pair refill per body.
 
@@ -961,7 +967,7 @@ def _decode_kernel(
         pptr = pptr + need.astype(jnp.int32)
         return (a0, a1, s2, s3), valid, pptr
 
-    U = unroll if unroll else _unroll(iters, w_band * nt)
+    U = unroll if unroll else _unroll(iters, w_band * nt, interpret)
     assert iters % U == 0, f"unroll {U} must divide chunk iters {iters}"
 
     def quad(s, a, valid, pptr, gi):
@@ -1073,7 +1079,7 @@ def ils_decode(
     kern = functools.partial(
         _decode_kernel, k=k, w_cap=w_cap, w_band=w_band, max_len=max_len,
         min_len=max(min(min_len, max_len), 1), nt=nt, iters=iters,
-        unroll=unroll, lazy=lazy,
+        unroll=unroll, lazy=lazy, interpret=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
