@@ -89,6 +89,8 @@ def main():
     log(f"devices: {jax.devices()}")
     if args.input:
         raw = np.fromfile(args.input, np.uint8)
+        if raw.size == 0:
+            ap.error(f"--input file {args.input} is empty")
         fit_sample = raw[: 1 << 20]
     else:
         fit_sample = generate_redundant(1 << 20, args.redundancy, seed=0)
@@ -123,7 +125,8 @@ def main():
     data_i32 = jnp.asarray(_as_tiles_i32(data, k))
     t0 = time.perf_counter()
     payload_rows, row_starts, p = ils_encode_to_device(
-        data_i32, codec.enc, k=k, avg_bits=codec._avg_bits(data)
+        data_i32, codec.enc, k=k, avg_bits=codec._avg_bits(data),
+        max_len=int(codec.table.max_len_present),
     )
     log(f"encode wall (incl. compiles): {time.perf_counter() - t0:.1f}s")
     meta_bytes = 4 * p.n_tiles + 32
@@ -172,6 +175,12 @@ def main():
 
     stride_rows = max(2 * (-(-p.k * maxlen // 64)), 4)
     fused = stride_rows <= FUSED_STRIDE_BUDGET
+    if fused:
+        # mirror the library's violation fallback: skewed data may force
+        # the two-pass path even when the stride fits
+        viol0 = ils_pack_certify(
+            data_i32, params, enc, k=p.k, stride_rows=stride_rows)[4]
+        fused = not int(jnp.max(viol0))
     log(f"encode path: {'fused 1-pass' if fused else 'two-pass'} "
         f"(stride_rows={stride_rows})")
 

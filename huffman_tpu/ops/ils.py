@@ -127,6 +127,7 @@ def ils_encode_to_device(
     *,
     k: int,
     avg_bits: float,
+    max_len: int | None = None,
     interpret: bool = False,
 ):
     """Device-resident encode: returns (payload_rows, row_starts_dev, params).
@@ -162,17 +163,18 @@ def ils_encode_to_device(
         dec_span = int(np.maximum(dec_max - dec_min, 0).max(initial=0))
         w_band = min(round_band(dec_span + 2), w_cap // 2)  # in pairs
         boffs = np.where(dec_min <= dec_max, dec_min, 0).astype(np.int32)
-        params = IlsParams(
+        return IlsParams(
             k=k, snum=snum, boffs=boffs, w_band=int(w_band),
             w_cap=int(w_cap), w_tiles=w_tiles.astype(np.int32),
             n_tiles=n_tiles,
         )
-        return params, dec_min, dec_max
 
-    # worst-case rows per tile from the table's longest present codeword
-    max_len = int(
-        max(int(np.asarray(enc.lo).max()), int(np.asarray(enc.hi).max()))
-    ) >> 20
+    if max_len is None:
+        # worst-case codeword length from the device tables (costs two
+        # small D2H syncs; callers that hold the CodeTable pass it in)
+        max_len = int(
+            max(int(np.asarray(enc.lo).max()), int(np.asarray(enc.hi).max()))
+        ) >> 20
     stride_rows = max(2 * (-(-k * max_len // 64)), 4)
     if stride_rows <= FUSED_STRIDE_BUDGET:
         pay_s, bits, dn, dx, viol = ils_pack_certify(
@@ -180,7 +182,7 @@ def ils_encode_to_device(
             interpret=interpret,
         )
         if not int(jnp.max(viol)):
-            params, _, _ = finish(bits, dn, dx)
+            params = finish(bits, dn, dx)
             row_starts_dev = jnp.asarray(
                 params.row_starts[:-1].astype(np.int32)
             )
@@ -195,7 +197,7 @@ def ils_encode_to_device(
     bits, dec_min, dec_max, enc_min, enc_max = ils_lengths_pass(
         data_i32, params_j, enc, k=k, interpret=interpret
     )
-    params, _, _ = finish(bits, dec_min, dec_max)
+    params = finish(bits, dec_min, dec_max)
     enc_min = np.asarray(jnp.min(enc_min, axis=(1, 2)))
     enc_max = np.asarray(jnp.max(enc_max, axis=(1, 2)))
     enc_span = int(np.maximum(enc_max - enc_min, 0).max(initial=0))
@@ -222,15 +224,17 @@ def ils_encode_device(
 ) -> IlsSection:
     """Encode flat bytes (size must be a multiple of k*1024) into one section.
 
-    Raises ValueError if the certified band cannot be honored (never
-    happens: the pack pass uses the exact envelope measured by the schedule
-    pass)."""
+    The fused fast path packs against an ESTIMATED emission band and falls
+    back to the two-pass pipeline whenever its violation flag fires (the
+    two-pass pack uses the exact envelope measured by the schedule pass),
+    so the certified band in the container always holds."""
     data = np.ascontiguousarray(data, np.uint8)
     if data.size % (k * ILS_LANES):
         raise ValueError("data size must be a multiple of k * 1024")
     data_i32 = jnp.asarray(_as_tiles_i32(data, k))
     payload_rows, _, params = ils_encode_to_device(
-        data_i32, enc, k=k, avg_bits=avg_bits, interpret=interpret
+        data_i32, enc, k=k, avg_bits=avg_bits,
+        max_len=int(table.max_len_present), interpret=interpret,
     )
     payload = (
         np.asarray(payload_rows[: params.total_rows])

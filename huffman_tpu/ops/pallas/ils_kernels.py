@@ -186,7 +186,9 @@ def _acc_insert(a, used, entry):
     ln = entry >> 20
     code = (entry & 0xFFFF).astype(u32)
     lns = ln.astype(u32)
-    c_left = code << (u32(32) - lns)
+    # (code << 1) << (31 - lns) == code << (32 - lns) but stays defined at
+    # lns == 0 (absent-symbol entries are all-zero)
+    c_left = (code << u32(1)) << (u32(31) - lns)
     r = used.astype(u32) & u32(31)
     j0 = used >> 5  # word containing bit offset `used`; 0..5
     hi = c_left >> r
@@ -641,6 +643,21 @@ def _pack_certify_kernel(
         viol_ref[0] = viol2
         dma = pltpu.make_async_copy(
             pay, out_pay.at[pl.ds(t * stride_rows, stride_rows)], sem
+        )
+        dma.start()
+        dma.wait()
+
+    @pl.when((c_idx == n_chunks - 1) & (t == pl.num_programs(0) - 1))
+    def _zero_slack():
+        # the trailing stride_rows slack rows (read by ils_compact's
+        # over-reads for the last tile) must be zeros, matching the
+        # two-pass path's zeroed scratch padding; ANY outputs are not
+        # zero-initialized on TPU
+        pay[:] = jnp.zeros((stride_rows, SUBLANES, LANES), jnp.int32)
+        dma = pltpu.make_async_copy(
+            pay,
+            out_pay.at[pl.ds(pl.num_programs(0) * stride_rows, stride_rows)],
+            sem,
         )
         dma.start()
         dma.wait()
