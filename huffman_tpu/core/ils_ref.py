@@ -66,6 +66,8 @@ from .canonical import CodeTable, build_flat_lut
 
 __all__ = [
     "ILS_LANES",
+    "ILS_WIN",
+    "ils_n_win",
     "IlsParams",
     "ils_schedule_numer",
     "ils_stream_symbols",
@@ -76,20 +78,33 @@ __all__ = [
 
 ILS_LANES = 1024  # streams per tile: one (8, 128) vreg of lanes
 
+# Band-anchor window: the refill/emission band offset (boffs) is stored per
+# WINDOW of this many body iterations, not per tile.  Heterogeneous content
+# (a zeros region next to a random region) makes the schedule deviation
+# drift monotonically THROUGH a tile; per-window anchors track that drift so
+# the static band only has to cover the within-window span (measured:
+# a blocky file needs w_band 256 with one anchor per tile but ~16-32 with
+# per-window anchors).  Cross-lane spread is unaffected either way.
+ILS_WIN = 64
+
+
+def ils_n_win(k: int) -> int:
+    return -(-(k // 4) // ILS_WIN)
+
 
 @dataclasses.dataclass(frozen=True)
 class IlsParams:
     """Per-call schedule/layout parameters stored in the container.
 
-    ``boffs`` is per tile: the refill window is re-centered on each tile's
-    own deviation envelope, so a heterogeneous file (e.g. a zeros region
-    next to a random region) pays a wide band only where its statistics
-    actually wander, not globally.
+    ``boffs`` is per (tile, ILS_WIN-body window): the refill window is
+    re-anchored on each window's own deviation envelope, so a heterogeneous
+    file (e.g. a zeros region next to a random region) pays a wide band
+    only for within-window deviation, not for a tile-long drift.
     """
 
     k: int  # symbols per stream (multiple of 4)
     snum: int  # expected word-PAIRS per body iteration, 16.16 fixed point
-    boffs: np.ndarray  # (n_tiles,) int32 per-tile decode-band offset (pairs)
+    boffs: np.ndarray  # (n_tiles, n_win) int32 windowed band anchors (pairs)
     w_band: int  # refill window width in PAIRS (static in the kernel)
     w_cap: int  # row capacity per tile in words (even, >= max W_t, static)
     w_tiles: np.ndarray  # (n_tiles,) int32 actual rows per tile (even)
@@ -141,45 +156,48 @@ def ils_simulate_schedule(lens: np.ndarray, snum: int):
       snum: schedule numerator (pairs per iteration, 16.16 fixed point).
 
     Returns (bits_total (n_tiles, LANES) int64,
-             dec_min, dec_max, enc_min, enc_max — each (n_tiles,) int64):
-    per-tile envelopes of refill-read pairs (decoder schedule) and
-    emission-write pairs (encoder schedule, flush included) relative to mu_i.
+             dec_min, dec_max, enc_min, enc_max — each (n_tiles, n_win)
+             int64): per-(tile, ILS_WIN-body window) envelopes of
+    refill-read pairs (decoder schedule) and emission-write pairs (encoder
+    schedule, flush included) relative to mu_i.
     """
     n_tiles, k, lanes = lens.shape
     assert k % 4 == 0
+    n_win = ils_n_win(k)
     lens = lens.astype(np.int64)
     valid = np.full((n_tiles, lanes), 128, np.int64)
     pptr = np.full((n_tiles, lanes), 2, np.int64)
     used = np.zeros((n_tiles, lanes), np.int64)
     e_ptr = np.zeros((n_tiles, lanes), np.int64)
     big = np.int64(1 << 40)
-    dec_min = np.full(n_tiles, big)
-    dec_max = np.full(n_tiles, -big)
-    enc_min = np.full(n_tiles, big)
-    enc_max = np.full(n_tiles, -big)
+    dec_min = np.full((n_tiles, n_win), big)
+    dec_max = np.full((n_tiles, n_win), -big)
+    enc_min = np.full((n_tiles, n_win), big)
+    enc_max = np.full((n_tiles, n_win), -big)
 
-    def track(mn, mx, mask, val, mu):
+    def track(mn, mx, w, mask, val, mu):
         d = np.where(mask, val - mu, big)
-        np.minimum(mn, d.min(axis=1), out=mn)
+        np.minimum(mn[:, w], d.min(axis=1), out=mn[:, w])
         d = np.where(mask, val - mu, -big)
-        np.maximum(mx, d.max(axis=1), out=mx)
+        np.maximum(mx[:, w], d.max(axis=1), out=mx[:, w])
 
     for i in range(k // 4):
+        w = i // ILS_WIN
         mu = _mu(i, snum)
         l4 = lens[:, 4 * i : 4 * i + 4].sum(axis=1)
         valid = valid - l4
         used = used + l4
         refill = valid <= 64
-        track(dec_min, dec_max, refill, pptr, mu)
+        track(dec_min, dec_max, w, refill, pptr, mu)
         pptr = pptr + refill
         valid = valid + 64 * refill
         emit = used >= 64
-        track(enc_min, enc_max, emit, e_ptr, mu)
+        track(enc_min, enc_max, w, emit, e_ptr, mu)
         e_ptr = e_ptr + emit
         used = used - 64 * emit
     # final flush of a whole zero-padded pair, at the last iteration's mu
     mu = _mu(k // 4 - 1, snum)
-    track(enc_min, enc_max, used > 0, e_ptr, mu)
+    track(enc_min, enc_max, n_win - 1, used > 0, e_ptr, mu)
     bits = 64 * e_ptr + used
     return bits.astype(np.int64), dec_min, dec_max, enc_min, enc_max
 
@@ -221,6 +239,7 @@ def ils_encode_np(data: np.ndarray, table: CodeTable, k: int):
     dec_span = int(np.maximum(dec_max - dec_min, 0).max(initial=0))
     w_band = min(_round_band(dec_span + 2), w_cap // 2)
     boffs = np.where(dec_min <= dec_max, dec_min, 0).astype(np.int32)
+    assert boffs.shape == (n_tiles, ils_n_win(k))
     params = IlsParams(
         k=k,
         snum=snum,
@@ -283,7 +302,8 @@ def ils_decode_np(
         valid = np.full(lanes, 128, np.int64)
         pptr = np.full(lanes, 2, np.int64)
         for i in range(k // 4):
-            base = min(max(_mu(i, params.snum) + int(params.boffs[t]), 0),
+            boff = int(params.boffs[t, i // ILS_WIN])
+            base = min(max(_mu(i, params.snum) + boff, 0),
                        cap_pairs - params.w_band)
             for j in range(4):
                 s = 4 * i + j

@@ -152,8 +152,10 @@ def read_container(buf: bytes) -> Compressed:
 # ----------------------------------------------------------------------
 # Layout (little-endian):
 #   magic          4s  b"ILS1"
-#   version        u8  2   (v2 = pair-granular schedule: snum/boffs/w_band
-#                           in word pairs, streams padded to even words)
+#   version        u8  3   (v2 = pair-granular schedule: snum/boffs/w_band
+#                           in word pairs, streams padded to even words;
+#                           v3 = band anchors per ILS_WIN-body window:
+#                           boffs is n_tiles * n_win(k) entries)
 #   max_len        u8
 #   n_sym          u16
 #   original_size  u64
@@ -162,7 +164,7 @@ def read_container(buf: bytes) -> Compressed:
 #   per section:
 #     k u32, snum u32, reserved i32, w_band u32, w_cap u32, n_tiles u32
 #     n_tiles x w_tile u32
-#     n_tiles x boff i32        # per-tile decode band offset
+#     n_tiles x n_win(k) x boff i32   # windowed decode band anchors
 #     payload u32 x (sum(w_tiles) * 1024)
 #
 # Metadata is ~4 bytes per tile (megabytes of payload); the size overhead of
@@ -180,9 +182,16 @@ def _ils_crc(comp) -> int:
 
 
 def ils_container_size(comp) -> int:
+    from ..core.ils_ref import ils_n_win
+
     size = _ILS_HEADER.size + 2 * comp.table.num_symbols
     for sec in comp.sections:
-        size += _ILS_SECTION.size + 8 * sec.params.n_tiles + sec.payload.nbytes
+        p = sec.params
+        size += (
+            _ILS_SECTION.size
+            + 4 * p.n_tiles * (1 + ils_n_win(p.k))
+            + sec.payload.nbytes
+        )
     return size
 
 
@@ -193,7 +202,7 @@ def write_ils_container(comp) -> bytes:
     parts = [
         _ILS_HEADER.pack(
             ILS_MAGIC,
-            2,
+            3,
             comp.table.max_len,
             comp.table.num_symbols,
             comp.original_size,
@@ -214,7 +223,7 @@ def write_ils_container(comp) -> bytes:
 
 
 def read_ils_container(buf: bytes):
-    from ..core.ils_ref import ILS_LANES, IlsParams
+    from ..core.ils_ref import ILS_LANES, IlsParams, ils_n_win
     from ..models.ils_codec import IlsCompressed
     from ..ops.ils import IlsSection
 
@@ -223,7 +232,7 @@ def read_ils_container(buf: bytes):
         raise ValueError("not an ILS1 container (bad magic)")
     (_, version, max_len, n_sym, original_size, n_sections,
      crc_stored) = _ILS_HEADER.unpack_from(mv, 0)
-    if version != 2:
+    if version != 3:
         raise ValueError(f"unsupported ILS container version {version}")
     off = _ILS_HEADER.size
     entries = np.frombuffer(mv, np.uint8, 2 * n_sym, off).reshape(n_sym, 2)
@@ -242,8 +251,13 @@ def read_ils_container(buf: bytes):
         off += _ILS_SECTION.size
         w_tiles = np.frombuffer(mv, np.uint32, n_tiles, off).astype(np.int32)
         off += 4 * n_tiles
-        boffs = np.frombuffer(mv, np.int32, n_tiles, off).copy()
-        off += 4 * n_tiles
+        n_win = ils_n_win(int(k))
+        boffs = (
+            np.frombuffer(mv, np.int32, n_tiles * n_win, off)
+            .reshape(n_tiles, n_win)
+            .copy()
+        )
+        off += 4 * n_tiles * n_win
         total_rows = int(w_tiles.sum())
         n_words = total_rows * ILS_LANES
         if off + 4 * n_words > len(buf):

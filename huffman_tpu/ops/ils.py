@@ -148,12 +148,13 @@ def ils_encode_to_device(
 
     def finish(bits_dev, dn_dev, dx_dev):
         # even word counts (pair granularity), >= 4 for the 128-bit
-        # register init
+        # register init.  dn/dx are per-(tile, ILS_WIN window) envelopes
+        # (n_tiles, n_win, 8, 128); lanes reduce on device.
         w_tiles = np.asarray(
             jnp.maximum(2 * (-(-jnp.max(bits_dev, axis=(1, 2)) // 64)), 4)
         ).astype(np.int64)
-        dec_min = np.asarray(jnp.min(dn_dev, axis=(1, 2)))
-        dec_max = np.asarray(jnp.max(dx_dev, axis=(1, 2)))
+        dec_min = np.asarray(jnp.min(dn_dev, axis=(2, 3)))  # (n_tiles, n_win)
+        dec_max = np.asarray(jnp.max(dx_dev, axis=(2, 3)))
         w_cap = round_cap(int(w_tiles.max()))
         if w_cap > VMEM_ROW_BUDGET and k > MIN_K:
             raise IlsVmemError(
@@ -198,8 +199,8 @@ def ils_encode_to_device(
         data_i32, params_j, enc, k=k, interpret=interpret
     )
     params = finish(bits, dec_min, dec_max)
-    enc_min = np.asarray(jnp.min(enc_min, axis=(1, 2)))
-    enc_max = np.asarray(jnp.max(enc_max, axis=(1, 2)))
+    enc_min = np.asarray(jnp.min(enc_min, axis=(2, 3)))  # (n_tiles, n_win)
+    enc_max = np.asarray(jnp.max(enc_max, axis=(2, 3)))
     enc_span = int(np.maximum(enc_max - enc_min, 0).max(initial=0))
     w_band_enc = min(round_band(enc_span + 2), params.w_cap // 2)
     boffs_enc = np.where(enc_min <= enc_max, enc_min, 0).astype(np.int32)

@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...core.canonical import CodeTable
+from ...core.ils_ref import ILS_WIN, ils_n_win
 
 __all__ = [
     "IlsEncTabs",
@@ -207,9 +208,14 @@ def _acc_insert(a, used, entry):
 def _lengths_kernel(
     params_ref, lenlo_ref, lenhi_ref, data_ref,
     bits_ref, dnmin_ref, dnmax_ref, enmin_ref, enmax_ref, carry, *, k,
-    interpret
+    n_win, interpret
 ):
-    """Schedule-v2 certification: one pair event per 4-symbol body."""
+    """Schedule-v2 certification: one pair event per 4-symbol body.
+
+    Envelopes are tracked per ILS_WIN-body window (see `core/ils_ref.py`):
+    the unroll factors all divide ILS_WIN, so a U-group never straddles a
+    window boundary and each group does ONE read-modify-write of its
+    window's min/max rows."""
     shape = (SUBLANES, LANES)
     c_idx = pl.program_id(1)
     n_chunks = pl.num_programs(1)
@@ -221,10 +227,10 @@ def _lengths_kernel(
         carry[1] = jnp.zeros(shape, jnp.int32)      # used
         carry[2] = jnp.full(shape, 2, jnp.int32)    # pptr (pairs)
         carry[3] = jnp.zeros(shape, jnp.int32)      # e_ptr (pairs)
-        carry[4] = jnp.full(shape, _BIG, jnp.int32)
-        carry[5] = jnp.full(shape, -_BIG, jnp.int32)
-        carry[6] = jnp.full(shape, _BIG, jnp.int32)
-        carry[7] = jnp.full(shape, -_BIG, jnp.int32)
+        dnmin_ref[0] = jnp.full((n_win,) + shape, _BIG, jnp.int32)
+        dnmax_ref[0] = jnp.full((n_win,) + shape, -_BIG, jnp.int32)
+        enmin_ref[0] = jnp.full((n_win,) + shape, _BIG, jnp.int32)
+        enmax_ref[0] = jnp.full((n_win,) + shape, -_BIG, jnp.int32)
 
     U = _unroll(iters, interpret=interpret)  # lengths pass has no band
 
@@ -252,43 +258,58 @@ def _lengths_kernel(
         used = used - jnp.where(emit, 64, 0)
         return valid, used, pptr, e_ptr, dn, dx, en, ex
 
+    def _acc_window(ref_mn, ref_mx, w, gmn, gmx):
+        ref_mn[0, pl.ds(w, 1)] = jnp.minimum(ref_mn[0, pl.ds(w, 1)], gmn[None])
+        ref_mx[0, pl.ds(w, 1)] = jnp.maximum(ref_mx[0, pl.ds(w, 1)], gmx[None])
+
     def body(j, st):
+        gdn = jnp.full(shape, _BIG, jnp.int32)
+        gdx = jnp.full(shape, -_BIG, jnp.int32)
+        gen = jnp.full(shape, _BIG, jnp.int32)
+        gex = jnp.full(shape, -_BIG, jnp.int32)
+        st = st + (gdn, gdx, gen, gex)
         for u in range(U):
             st = one(U * j + u, *st)
-        return st
+        valid, used, pptr, e_ptr, gdn, gdx, gen, gex = st
+        w = (c_idx * iters + U * j) // ILS_WIN
+        _acc_window(dnmin_ref, dnmax_ref, w, gdn, gdx)
+        _acc_window(enmin_ref, enmax_ref, w, gen, gex)
+        return valid, used, pptr, e_ptr
 
-    state = tuple(carry[j] for j in range(8))
+    state = tuple(carry[j] for j in range(4))
     state = jax.lax.fori_loop(0, iters // U, body, state, unroll=False)
-    for j in range(8):
+    for j in range(4):
         carry[j] = state[j]
 
     @pl.when(c_idx == n_chunks - 1)
     def _fini():
-        valid, used, pptr, e_ptr, dn, dx, en, ex = state
+        valid, used, pptr, e_ptr = state
         mu_last = ((k // 4 - 1) * params_ref[0]) >> 16
         flush = used > 0
         dev_f = e_ptr - mu_last
-        en2 = jnp.minimum(en, jnp.where(flush, dev_f, _BIG))
-        ex2 = jnp.maximum(ex, jnp.where(flush, dev_f, -_BIG))
+        _acc_window(
+            enmin_ref, enmax_ref, n_win - 1,
+            jnp.where(flush, dev_f, _BIG), jnp.where(flush, dev_f, -_BIG),
+        )
         bits_ref[0] = 64 * e_ptr + used
-        dnmin_ref[0] = dn
-        dnmax_ref[0] = dx
-        enmin_ref[0] = en2
-        enmax_ref[0] = ex2
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
     """Schedule pass over (n_tiles*k//4, 8, 128) int32 data.
 
-    params: (2,) int32 [snum, unused].  Returns (bits, dec_min, dec_max,
-    enc_min, enc_max), each (n_tiles, 8, 128) int32 (per-stream): total bits
-    and the refill/emission deviation envelopes relative to mu_i.
+    params: (2,) int32 [snum, unused].  Returns (bits (n_tiles, 8, 128),
+    dec_min, dec_max, enc_min, enc_max — each (n_tiles, n_win, 8, 128)
+    int32, per-stream): total bits and the per-ILS_WIN-window
+    refill/emission deviation envelopes relative to mu_i.
     """
     n_tiles = data_i32.shape[0] // (k // 4)
     n_chunks = _n_chunks(k)
     iters = _chunk_iters(k)
-    kern = functools.partial(_lengths_kernel, k=k, interpret=interpret)
+    n_win = ils_n_win(k)
+    kern = functools.partial(
+        _lengths_kernel, k=k, n_win=n_win, interpret=interpret
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles, n_chunks),
@@ -303,17 +324,26 @@ def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, SUBLANES, LANES), lambda t, c, p: (t, 0, 0), memory_space=pltpu.VMEM
+                (1, SUBLANES, LANES), lambda t, c, p: (t, 0, 0),
+                memory_space=pltpu.VMEM,
             )
-            for _ in range(5)
+        ] + [
+            pl.BlockSpec(
+                (1, n_win, SUBLANES, LANES), lambda t, c, p: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(4)
         ],
-        scratch_shapes=[pltpu.VMEM((8, SUBLANES, LANES), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((4, SUBLANES, LANES), jnp.int32)],
     )
-    out_sd = jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32)
+    env_sd = jax.ShapeDtypeStruct((n_tiles, n_win, SUBLANES, LANES), jnp.int32)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[out_sd] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32),
+            env_sd, env_sd, env_sd, env_sd,
+        ],
         interpret=interpret,
     )(params, enc.lo, enc.hi, data_i32)
 
@@ -323,7 +353,7 @@ def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
 # ----------------------------------------------------------------------
 def _pack_kernel(
     params_ref, boffs_ref, starts_ref, lo_tab, hi_tab, data_ref, out_ref,
-    pay, carry, sem, *, k, w_cap, w_band, flush_g, interpret
+    pay, carry, sem, *, k, w_cap, w_band, n_win, flush_g, interpret
 ):
     """Schedule-v2 pack: 192-bit accumulator, deferred two-body flush.
 
@@ -338,7 +368,6 @@ def _pack_kernel(
     advances <= 1 pair/body), mirroring the group-clamp proof in
     `_mu_base` terms: base_g <= base_i <= base_g + G."""
     t = pl.program_id(0)
-    boff = boffs_ref[t]
     c_idx = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     iters = _chunk_iters(k)
@@ -406,6 +435,8 @@ def _pack_kernel(
 
     def body(jj, st):
         a, used, e_ptr = st
+        wi = (c_idx * iters + U * jj) // ILS_WIN  # constant over the group
+        boff = boffs_ref[t * n_win + wi]
         for g in range(U // G):
             i = U * jj + G * g
             base = _mu_base(
@@ -429,6 +460,7 @@ def _pack_kernel(
 
     @pl.when(c_idx == n_chunks - 1)
     def _fini():
+        boff = boffs_ref[t * n_win + (n_win - 1)]
         base = _mu_base(k // 4 - 1, params_ref[0], boff, cap_pairs, W)
         flush2(a, used, e_ptr, base, final=True)
         # ship the finished tile payload straight to its COMPACT offset in
@@ -453,7 +485,7 @@ def ils_pack(data_i32, params, boffs, row_starts, enc: IlsEncTabs, *, k,
              w_cap, w_band, total_rows, interpret=False, flush_g=None):
     """Pack pass: returns compact payload rows (total_rows + w_cap, 8, 128).
 
-    boffs: (n_tiles,) int32 per-tile emission band offsets.
+    boffs: (n_tiles, n_win) int32 windowed emission band anchors.
     row_starts: (n_tiles,) int32 compact row offsets (cumsum of W_t from
     ils_lengths_pass); each tile DMAs its payload directly there, so no
     separate compaction pass exists.  The trailing w_cap rows are slack.
@@ -466,9 +498,11 @@ def ils_pack(data_i32, params, boffs, row_starts, enc: IlsEncTabs, *, k,
     n_tiles = data_i32.shape[0] // (k // 4)
     n_chunks = _n_chunks(k)
     iters = _chunk_iters(k)
+    n_win = ils_n_win(k)
+    boffs = boffs.reshape(n_tiles * n_win)
     kern = functools.partial(
-        _pack_kernel, k=k, w_cap=w_cap, w_band=w_band, flush_g=flush_g,
-        interpret=interpret,
+        _pack_kernel, k=k, w_cap=w_cap, w_band=w_band, n_win=n_win,
+        flush_g=flush_g, interpret=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -515,7 +549,7 @@ FUSED_E_BAND = 32
 def _pack_certify_kernel(
     params_ref, lo_tab, hi_tab, data_ref,
     out_pay, bits_ref, dnmin_ref, dnmax_ref, viol_ref,
-    pay, carry, sem, *, k, stride_rows, e_band, flush_g, interpret
+    pay, carry, sem, *, k, stride_rows, e_band, n_win, flush_g, interpret
 ):
     """One-pass encode: pack into a worst-case-stride payload region while
     simulating the decoder's refill schedule (the certification that
@@ -550,9 +584,9 @@ def _pack_certify_kernel(
         carry[7] = jnp.zeros(shape, jnp.int32)   # e_ptr (pairs)
         carry[8] = jnp.full(shape, 128, jnp.int32)  # dec sim: valid
         carry[9] = jnp.full(shape, 2, jnp.int32)    # dec sim: pptr
-        carry[10] = jnp.full(shape, _BIG, jnp.int32)   # dec dev min
-        carry[11] = jnp.full(shape, -_BIG, jnp.int32)  # dec dev max
-        carry[12] = jnp.zeros(shape, jnp.int32)  # emission violation
+        carry[10] = jnp.zeros(shape, jnp.int32)  # emission violation
+        dnmin_ref[0] = jnp.full((n_win,) + shape, _BIG, jnp.int32)
+        dnmax_ref[0] = jnp.full((n_win,) + shape, -_BIG, jnp.int32)
 
     def flush2(a, used, e_ptr, base, viol, final=False):
         e1 = used > 0 if final else used >= 64
@@ -594,7 +628,12 @@ def _pack_certify_kernel(
         return a, used - 64 * cnt, e_ptr + cnt, viol
 
     def body(jj, st):
-        a, used, e_ptr, valid, pptr, dn, dx, viol = st
+        a, used, e_ptr, valid, pptr, viol = st
+        # per-window envelope accumulation: a U-group never straddles an
+        # ILS_WIN boundary (every unroll factor divides ILS_WIN), so one
+        # RMW per group retires its window contribution
+        gdn = jnp.full(shape, _BIG, jnp.int32)
+        gdx = jnp.full(shape, -_BIG, jnp.int32)
         for g in range(U // G):
             i = U * jj + G * g
             gi0 = c_idx * iters + i
@@ -614,30 +653,34 @@ def _pack_certify_kernel(
                 valid = valid - l4
                 refill = valid <= 64
                 dev = pptr - mu
-                dn = jnp.minimum(dn, jnp.where(refill, dev, _BIG))
-                dx = jnp.maximum(dx, jnp.where(refill, dev, -_BIG))
+                gdn = jnp.minimum(gdn, jnp.where(refill, dev, _BIG))
+                gdx = jnp.maximum(gdx, jnp.where(refill, dev, -_BIG))
                 pptr = pptr + refill.astype(jnp.int32)
                 valid = valid + jnp.where(refill, 64, 0)
             a, used, e_ptr, viol = flush2(a, used, e_ptr, base, viol)
-        return a, used, e_ptr, valid, pptr, dn, dx, viol
+        wi = (c_idx * iters + U * jj) // ILS_WIN
+        dnmin_ref[0, pl.ds(wi, 1)] = jnp.minimum(
+            dnmin_ref[0, pl.ds(wi, 1)], gdn[None]
+        )
+        dnmax_ref[0, pl.ds(wi, 1)] = jnp.maximum(
+            dnmax_ref[0, pl.ds(wi, 1)], gdx[None]
+        )
+        return a, used, e_ptr, valid, pptr, viol
 
     state = (
         tuple(pltpu.bitcast(carry[j], u32) for j in range(6)),
-        carry[6], carry[7], carry[8], carry[9],
-        carry[10], carry[11], carry[12],
+        carry[6], carry[7], carry[8], carry[9], carry[10],
     )
     st = jax.lax.fori_loop(0, iters // U, body, state, unroll=False)
-    a, used, e_ptr, valid, pptr, dn, dx, viol = st
+    a, used, e_ptr, valid, pptr, viol = st
     for j in range(6):
         carry[j] = pltpu.bitcast(a[j], jnp.int32)
     carry[6], carry[7], carry[8], carry[9] = used, e_ptr, valid, pptr
-    carry[10], carry[11], carry[12] = dn, dx, viol
+    carry[10] = viol
 
     @pl.when(c_idx == n_chunks - 1)
     def _fini():
         bits_ref[0] = 64 * e_ptr + used
-        dnmin_ref[0] = dn
-        dnmax_ref[0] = dx
         base = _mu_base(k // 4 - 1, params_ref[0], boff_est, cap_pairs, W)
         _, _, _, viol2 = flush2(a, used, e_ptr, base, viol, final=True)
         viol_ref[0] = viol2
@@ -672,7 +715,8 @@ def ils_pack_certify(data_i32, params, enc: IlsEncTabs, *, k, stride_rows,
     """Fused single-pass encode at worst-case tile stride.
 
     Returns (payload_strided (n_tiles*stride_rows + stride_rows, 8, 128),
-    bits, dec_min, dec_max, viol — each (n_tiles, 8, 128) int32).  The
+    bits, viol (n_tiles, 8, 128) int32, and windowed dec_min, dec_max
+    (n_tiles, n_win, 8, 128) int32).  The
     trailing stride_rows rows are zero slack for `ils_compact`'s
     over-reads.  If any element of viol is nonzero the payload is void and
     the caller must use the two-pass path."""
@@ -681,12 +725,17 @@ def ils_pack_certify(data_i32, params, enc: IlsEncTabs, *, k, stride_rows,
     n_tiles = data_i32.shape[0] // (k // 4)
     n_chunks = _n_chunks(k)
     iters = _chunk_iters(k)
+    n_win = ils_n_win(k)
     kern = functools.partial(
         _pack_certify_kernel, k=k, stride_rows=stride_rows, e_band=e_band,
-        flush_g=flush_g, interpret=interpret,
+        n_win=n_win, flush_g=flush_g, interpret=interpret,
     )
     small = pl.BlockSpec(
         (1, SUBLANES, LANES), lambda t, c, p: (t, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    winspec = pl.BlockSpec(
+        (1, n_win, SUBLANES, LANES), lambda t, c, p: (t, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -703,15 +752,16 @@ def ils_pack_certify(data_i32, params, enc: IlsEncTabs, *, k, stride_rows,
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            small, small, small, small,
+            small, winspec, winspec, small,
         ],
         scratch_shapes=[
             pltpu.VMEM((stride_rows, SUBLANES, LANES), jnp.int32),
-            pltpu.VMEM((13, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((11, SUBLANES, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     small_sd = jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32)
+    env_sd = jax.ShapeDtypeStruct((n_tiles, n_win, SUBLANES, LANES), jnp.int32)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -719,7 +769,7 @@ def ils_pack_certify(data_i32, params, enc: IlsEncTabs, *, k, stride_rows,
             jax.ShapeDtypeStruct(
                 ((n_tiles + 1) * stride_rows, SUBLANES, LANES), jnp.int32
             ),
-            small_sd, small_sd, small_sd, small_sd,
+            small_sd, env_sd, env_sd, small_sd,
         ],
         interpret=interpret,
     )(params, enc.lo, enc.hi, data_i32)
@@ -805,6 +855,7 @@ def _decode_kernel(
     iters,
     unroll,
     lazy,
+    n_win,
     interpret,
 ):
     """Schedule-v2 decode: 128-bit register, one pair refill per body.
@@ -841,8 +892,6 @@ def _decode_kernel(
                 carry[s, j] = scratch[s, j]
             carry[s, 4] = jnp.full(shape, 128, jnp.int32)  # valid
             carry[s, 5] = jnp.full(shape, 2, jnp.int32)    # pptr (pairs)
-
-    boffs = [boffs_ref[g * nt + s] for s in range(nt)]
 
     def _sym_ln(win):
         # levels below min_len are empty (their limits are 0, the compare is
@@ -987,8 +1036,8 @@ def _decode_kernel(
     U = unroll if unroll else _unroll(iters, w_band * nt, interpret)
     assert iters % U == 0, f"unroll {U} must divide chunk iters {iters}"
 
-    def quad(s, a, valid, pptr, gi):
-        base = _mu_base(gi, params_ref[0], boffs[s], cap_pairs, w_band)
+    def quad(s, a, valid, pptr, gi, boff):
+        base = _mu_base(gi, params_ref[0], boff, cap_pairs, w_band)
         if lazy:
             a0, a1, s2, s3 = a
             a0, a1, l0, s0 = decode_one_lazy(a0, a1)
@@ -1015,11 +1064,15 @@ def _decode_kernel(
     def body(j, st):
         st = list(st)
         i0 = U * j
+        # window index is constant over a U-group (every unroll factor
+        # divides ILS_WIN), so the anchor loads once per group per slot
+        wi = (c_idx * iters + i0) // ILS_WIN
+        boffs = [boffs_ref[(g * nt + s) * n_win + wi] for s in range(nt)]
         packs = [[] for _ in range(nt)]
         for u in range(U):
             gi = c_idx * iters + i0 + u
             for s in range(nt):
-                st[s], pk = quad(s, *st[s], gi)
+                st[s], pk = quad(s, *st[s], gi, boffs[s])
                 packs[s].append(pk)
         for s in range(nt):
             out_ref[s, pl.ds(i0, U)] = (
@@ -1076,7 +1129,7 @@ def ils_decode(
         payload rows.
       row_starts: (n_tiles,) int32 payload row offset per tile.
       params: (2,) int32 [snum, 0].
-      boffs: (n_tiles,) int32 per-tile decode band offsets.
+      boffs: (n_tiles, n_win) int32 windowed decode band anchors.
 
     Returns (n_tiles * k//4, 8, 128) int32 — the original u32 data.
     """
@@ -1084,19 +1137,24 @@ def ils_decode(
         nt = _decode_nt()
     iters = _chunk_iters(k, CHUNK_I // nt)
     n_chunks = (k // 4) // iters
+    n_win = ils_n_win(k)
     n_groups = -(-n_tiles // nt)
     pad = n_groups * nt - n_tiles
+    boffs = boffs.reshape(n_tiles, n_win)
     if pad:
         # phantom slots re-decode the last tile (its window DMA and output
         # rows are real but discarded below); keeps the grid rectangular
         row_starts = jnp.concatenate(
             [row_starts, jnp.repeat(row_starts[-1:], pad)]
         )
-        boffs = jnp.concatenate([boffs, jnp.repeat(boffs[-1:], pad)])
+        boffs = jnp.concatenate(
+            [boffs, jnp.repeat(boffs[-1:], pad, axis=0)], axis=0
+        )
+    boffs = boffs.reshape((n_tiles + pad) * n_win)
     kern = functools.partial(
         _decode_kernel, k=k, w_cap=w_cap, w_band=w_band, max_len=max_len,
         min_len=max(min(min_len, max_len), 1), nt=nt, iters=iters,
-        unroll=unroll, lazy=lazy, interpret=interpret,
+        unroll=unroll, lazy=lazy, n_win=n_win, interpret=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

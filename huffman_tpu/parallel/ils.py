@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mesh import DATA_AXIS, Mesh, P
+from ..core.ils_ref import ils_n_win
 from ..ops.pallas.ils_kernels import ils_decode, ils_pack
 
 __all__ = [
@@ -84,14 +85,15 @@ def make_ils_sharded_decode(
 
     Returns fn(payload_dev, starts_dev, params, boffs_dev, dec) ->
     (D*T/D*k//4, 8, 128) int32 sharded over the leading axis — reshape(-1)
-    is the original u32 stream in order.
+    is the original u32 stream in order.  boffs_dev is
+    (D, tiles_per_device, n_win) windowed band anchors.
     """
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(DATA_AXIS, None, None, None), P(DATA_AXIS, None), P(),
-                  P(DATA_AXIS, None), P()),
+                  P(DATA_AXIS, None, None), P()),
         out_specs=P(DATA_AXIS, None, None),
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )
@@ -147,7 +149,7 @@ def make_ils_sharded_roundtrip(
     )
     def step(data_dev, enc, dec):
         local = data_dev[0]
-        boffs = jnp.zeros(tiles_per_device, jnp.int32)
+        boffs = jnp.zeros((tiles_per_device, ils_n_win(k)), jnp.int32)
         starts = jnp.arange(tiles_per_device, dtype=jnp.int32) * w_cap
         rows = ils_pack(
             local, params, boffs, starts, enc, k=k, w_cap=w_cap,

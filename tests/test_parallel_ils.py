@@ -71,7 +71,7 @@ def test_ils_sharded_decode_matches_codec():
     )
     params = jnp.asarray(np.array([p.snum, 0], np.int32))
     tpd_ = p.n_tiles // n_devices
-    boffs_dev = jnp.asarray(p.boffs.reshape(n_devices, tpd_))
+    boffs_dev = jnp.asarray(p.boffs.reshape(n_devices, tpd_, -1))
     out = dec_fn(
         jnp.asarray(payload_dev), jnp.asarray(starts_dev), params, boffs_dev,
         codec.dec,

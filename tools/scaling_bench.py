@@ -96,7 +96,7 @@ def main():
             tiles_per_device=tpd, interpret=args.interpret,
         )
         params = jnp.asarray(np.array([p.snum, 0], np.int32))
-        boffs_dev = jnp.asarray(p.boffs.reshape(d, tpd))
+        boffs_dev = jnp.asarray(p.boffs.reshape(d, tpd, -1))
         pd = jnp.asarray(payload_dev)
         sd = jnp.asarray(starts_dev)
 
