@@ -43,29 +43,27 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _compose_scan(exits: jnp.ndarray, counts: jnp.ndarray):
-    """Inclusive scan of transition composition.
+def _compose_scan(exits: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive scan of transition composition over exit states ONLY.
 
-    exits/counts: (n, 16).  Returns (entry (n,) int32, prefix (n,) int32):
-    entry state of each subsequence and symbol count before it.
+    exits: (n, 16) int.  Returns entry (n,) int32: the true entry state of
+    each subsequence.  Only the 16x16 one-hot transition matrices ride the
+    matmul scan — their products stay exactly 0/1 in float32, so the scan is
+    exact at any stream length.  Symbol counts are deliberately NOT carried
+    through the scan: prefix counts accumulate to the stream total, which
+    exceeds float32's 2^24 integer range above ~16 MB decoded; they are
+    instead derived afterwards by an exact integer ``take_along_axis`` +
+    ``cumsum`` over the selected per-subsequence counts (the role of
+    thrust::exclusive_scan in the reference, `cuhd_gpu_decoder.cu:497-505`,
+    which is likewise exact).
     """
     states = jnp.arange(SYNC_STATES, dtype=jnp.int32)
     p = (exits[:, :, None] == states[None, None, :]).astype(jnp.float32)
-    c = counts.astype(jnp.float32)
-
-    def compose(a, b):
-        pa, ca = a
-        pb, cb = b
-        return pa @ pb, ca + jnp.einsum("nij,nj->ni", pa, cb)
-
-    pg, cg = jax.lax.associative_scan(compose, (p, c), axis=0)
-    # state-0 row of the inclusive prefix: exit/count after subsequences 0..i
+    pg = jax.lax.associative_scan(jnp.matmul, p, axis=0)
+    # state-0 row of the inclusive prefix: exit state after subsequences 0..i
     exit_state = jnp.argmax(pg[:, 0, :], axis=-1).astype(jnp.int32)
-    through = cg[:, 0].astype(jnp.int32)
     n = exits.shape[0]
-    entry = jnp.concatenate([jnp.zeros(1, jnp.int32), exit_state[: n - 1]])
-    prefix = jnp.concatenate([jnp.zeros(1, jnp.int32), through[: n - 1]])
-    return entry, prefix, through[n - 1]
+    return jnp.concatenate([jnp.zeros(1, jnp.int32), exit_state[: n - 1]])
 
 
 def selfsync_decode_words(
@@ -101,11 +99,11 @@ def selfsync_decode_words(
     packed = packed[:, :n_subseq].T  # (n, 16)
     exits = packed >> 16
     counts16 = packed & 0xFFFF
-    entry, prefix, total = _compose_scan(exits, counts16)
+    entry = _compose_scan(exits)
     counts = jnp.take_along_axis(counts16, entry[:, None], axis=1)[:, 0]
 
     counts_h = np.asarray(counts)
-    total_syms = int(np.asarray(total))
+    total_syms = int(counts_h.sum(dtype=np.int64))
     max_count = int(counts_h.max()) if n_subseq else 1
 
     dec = device_dec_table(table)

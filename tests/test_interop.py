@@ -128,6 +128,36 @@ def test_selfsync_matches_oracle(r, n):
     assert np.array_equal(out, data)
 
 
+def test_selfsync_compose_scan_exact_beyond_float32():
+    # Regression for the round-1 scale bug: per-subsequence symbol counts
+    # used to ride the associative matmul scan as float32, losing integer
+    # exactness once the prefix count exceeded 2^24 (~16 MB decoded).  The
+    # scan now composes exit states only; counts are selected and summed in
+    # exact integer arithmetic.  Simulate a stream whose total symbol count
+    # (~40M) is far beyond float32's exact range and whose counts differ by
+    # entry state, and check entry states + totals against a serial walk.
+    from huffman_tpu.models.selfsync import _compose_scan
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(16)
+    n = 40_000
+    exits = rng.integers(0, 16, size=(n, 16)).astype(np.int32)
+    counts = rng.integers(900, 1100, size=(n, 16)).astype(np.int32)
+
+    entry = np.asarray(_compose_scan(jnp.asarray(exits)))
+    # serial oracle
+    state = 0
+    total_ref = 0
+    for i in range(n):
+        assert entry[i] == state
+        total_ref += int(counts[i, state])
+        state = int(exits[i, state])
+    sel = np.take_along_axis(counts, entry[:, None], axis=1)[:, 0]
+    total = int(sel.sum(dtype=np.int64))
+    assert total == total_ref
+    assert total > (1 << 24)  # the regime the old scan corrupted
+
+
 def test_selfsync_single_symbol_stream():
     data = np.full(30_000, 99, np.uint8)
     table = _fit(data)
