@@ -237,7 +237,13 @@ def ils_encode_np(data: np.ndarray, table: CodeTable, k: int):
     w_tiles = np.maximum(2 * (-(-bits.max(axis=1) // 64)), 4).astype(np.int64)
     w_cap = _round_cap(int(w_tiles.max()))
     dec_span = int(np.maximum(dec_max - dec_min, 0).max(initial=0))
-    w_band = min(_round_band(dec_span + 2), w_cap // 2)
+    w_band = _round_band(dec_span + 2)
+    # the refill window must fit the tile's pair capacity (band <= cap/2);
+    # widen the cap with zero-slack rows rather than narrowing the band
+    # below the measured envelope (which would violate the container
+    # invariant ils_decode_np enforces)
+    if 2 * w_band > w_cap:
+        w_cap = _round_cap(2 * w_band)
     boffs = np.where(dec_min <= dec_max, dec_min, 0).astype(np.int32)
     assert boffs.shape == (n_tiles, ils_n_win(k))
     params = IlsParams(

@@ -5,11 +5,12 @@ Binary layout (little-endian), modeled on the role of the Yamamoto container
 and carrying per-segment symbol counts so decode is one pass:
 
     magic            4s   b"HTC1"
-    version          u8   1
+    version          u8   2   (v2 adds the crc32 field; v1 readable)
     flags            u8   bit0: segments carry counts
     log2_seg_bits    u8
     max_len          u8
     n_sym            u16
+    crc32            u32  (v2+) over every block's seg metadata + payload
     n_sym x (symbol u8, length u8)      # canonical order (len asc, sym asc)
     original_size    u64
     block_bytes      u32
@@ -70,9 +71,27 @@ def _table_entries(table: CodeTable) -> np.ndarray:
     return out
 
 
+def _htc_block_parts(comp: Compressed):
+    for words, gaps, counts in zip(
+        comp.block_words, comp.block_gaps, comp.block_counts
+    ):
+        meta = (counts.astype(np.uint16) << GAP_BITS) | gaps.astype(np.uint16)
+        yield meta.tobytes()
+        yield words.astype(np.uint32).tobytes()
+
+
+def _htc_crc(comp: Compressed) -> int:
+    import zlib
+
+    crc = zlib.crc32(str(comp.original_size).encode())
+    for part in _htc_block_parts(comp):
+        crc = zlib.crc32(part, crc)
+    return crc & 0xFFFFFFFF
+
+
 def container_size(comp: Compressed) -> int:
     n_sym = comp.table.num_symbols
-    size = _HEADER.size + 2 * n_sym + _SIZES.size + 8 * comp.n_blocks
+    size = _HEADER.size + 4 + 2 * n_sym + _SIZES.size + 8 * comp.n_blocks
     for tb in comp.block_total_bits:
         n_segs = -(-tb // comp.seg_bits)
         n_words = -(-tb // 32)
@@ -86,18 +105,14 @@ def write_container(comp: Compressed) -> bytes:
     assert 1 << log2_seg == seg_bits
     parts = [
         _HEADER.pack(
-            MAGIC, 1, 1, log2_seg, comp.table.max_len, comp.table.num_symbols
+            MAGIC, 2, 1, log2_seg, comp.table.max_len, comp.table.num_symbols
         ),
+        struct.pack("<I", _htc_crc(comp)),
         _table_entries(comp.table).tobytes(),
         _SIZES.pack(comp.original_size, comp.block_bytes, comp.n_blocks),
         np.asarray(comp.block_total_bits, np.uint64).tobytes(),
     ]
-    for words, gaps, counts in zip(
-        comp.block_words, comp.block_gaps, comp.block_counts
-    ):
-        meta = (counts.astype(np.uint16) << GAP_BITS) | gaps.astype(np.uint16)
-        parts.append(meta.tobytes())
-        parts.append(words.astype(np.uint32).tobytes())
+    parts.extend(_htc_block_parts(comp))
     return b"".join(parts)
 
 
@@ -106,9 +121,13 @@ def read_container(buf: bytes) -> Compressed:
     if len(buf) < _HEADER.size or bytes(mv[:4]) != MAGIC:
         raise ValueError("not an HTC1 container (bad magic)")
     magic, version, flags, log2_seg, max_len, n_sym = _HEADER.unpack_from(mv, 0)
-    if version != 1:
+    if version not in (1, 2):
         raise ValueError(f"unsupported container version {version}")
     off = _HEADER.size
+    crc_stored = None
+    if version >= 2:
+        (crc_stored,) = struct.unpack_from("<I", mv, off)
+        off += 4
     entries = np.frombuffer(mv, np.uint8, 2 * n_sym, off).reshape(n_sym, 2)
     off += 2 * n_sym
     lengths = np.zeros(256, np.uint8)
@@ -144,6 +163,8 @@ def read_container(buf: bytes) -> Compressed:
         off += 4 * n_words
     if off != len(buf):
         raise ValueError(f"container has {len(buf) - off} trailing bytes")
+    if crc_stored is not None and _htc_crc(comp) != crc_stored:
+        raise ValueError("HTC1 container payload checksum mismatch")
     return comp
 
 

@@ -24,7 +24,13 @@ import numpy as np
 
 from ..core.canonical import CodeTable, build_flat_lut
 
-__all__ = ["PrefixCode", "write_seq", "read_seq_header", "decode_seq"]
+__all__ = [
+    "PrefixCode",
+    "write_seq",
+    "read_seq_header",
+    "decode_seq",
+    "host_lut_decode",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,6 +115,46 @@ def read_seq_header(buf: bytes):
     return PrefixCode(lengths=lengths, codes=codes), off, total_bits
 
 
+def host_lut_decode(
+    payload: np.ndarray, total_bits: int, code: PrefixCode
+) -> np.ndarray:
+    """Host sequential LUT walk for ANY prefix code (MSB-first stream).
+
+    The role of the reference's bit-by-bit decode map loop
+    (`sequential.cpp:88-94`); runs in C (`hn_decode_prefix_lut`) when the
+    native module is built, NumPy-loop fallback otherwise.
+    """
+    payload = np.asarray(payload, np.uint8)
+    if total_bits == 0:
+        return np.zeros(0, np.uint8)
+    lut_sym, lut_len = code.flat_lut()
+    b = code.max_len
+    present = code.lengths[code.lengths > 0]
+    min_len = int(present.min()) if present.size else 1
+
+    from .. import native
+
+    if native.available() and 1 <= b <= 24:
+        return native.decode_prefix_lut(
+            payload, total_bits, lut_sym, lut_len, b,
+            out_cap=total_bits // min_len + 1,
+        )
+
+    bits = np.unpackbits(payload)[:total_bits]
+    bits = np.concatenate([bits, np.zeros(b, np.uint8)])
+    weights = 1 << np.arange(b - 1, -1, -1)
+    out = []
+    pos = 0
+    while pos < total_bits:
+        window = int(bits[pos : pos + b] @ weights)
+        l = int(lut_len[window])
+        if l == 0:
+            raise ValueError("corrupt stream: no codeword matches")
+        out.append(lut_sym[window])
+        pos += l
+    return np.asarray(out, np.uint8)
+
+
 def decode_seq(buf: bytes, *, device: bool = True) -> np.ndarray:
     """Decode a sequential.cpp-format blob.
 
@@ -125,18 +171,4 @@ def decode_seq(buf: bytes, *, device: bool = True) -> np.ndarray:
         from ..models.selfsync import selfsync_decode_bytes
 
         return selfsync_decode_bytes(payload, total_bits, code)
-    lut_sym, lut_len = code.flat_lut()
-    b = code.max_len
-    bits = np.unpackbits(payload)[:total_bits]
-    bits = np.concatenate([bits, np.zeros(b, np.uint8)])
-    weights = 1 << np.arange(b - 1, -1, -1)
-    out = []
-    pos = 0
-    while pos < total_bits:
-        window = int(bits[pos : pos + b] @ weights)
-        l = int(lut_len[window])
-        if l == 0:
-            raise ValueError("corrupt stream: no codeword matches")
-        out.append(lut_sym[window])
-        pos += l
-    return np.asarray(out, np.uint8)
+    return host_lut_decode(payload, total_bits, code)

@@ -160,23 +160,12 @@ def selfsync_decode_bytes(payload: np.ndarray, total_bits: int, code) -> np.ndar
     from ..io.seqfmt import PrefixCode
 
     assert isinstance(code, PrefixCode)
-    if not is_canonical(code.lengths, code.codes):
-        # foreign greedy-tree codes: host oracle walk (sequential.cpp:88-94)
-        lut_sym, lut_len = code.flat_lut()
-        b = code.max_len
-        bits = np.unpackbits(np.asarray(payload, np.uint8))[:total_bits]
-        bits = np.concatenate([bits, np.zeros(b, np.uint8)])
-        weights = 1 << np.arange(b - 1, -1, -1)
-        out = []
-        pos = 0
-        while pos < total_bits:
-            window = int(bits[pos : pos + b] @ weights)
-            l = int(lut_len[window])
-            if l == 0:
-                raise ValueError("corrupt stream: no codeword matches")
-            out.append(lut_sym[window])
-            pos += l
-        return np.asarray(out, np.uint8)
+    if not is_canonical(code.lengths, code.codes) or code.max_len > SYNC_STATES:
+        # foreign greedy-tree codes (or codes past the 16-state transition
+        # table): host oracle walk, native-speed (sequential.cpp:88-94)
+        from ..io.seqfmt import host_lut_decode
+
+        return host_lut_decode(payload, total_bits, code)
 
     # canonical: rebuild a CodeTable in canonical (len, code) order
     from ..io.yamamoto import table_from_length_sequence

@@ -27,6 +27,7 @@ __all__ = [
     "package_merge_lengths",
     "canonical_pieces",
     "encode_bits",
+    "decode_prefix_lut",
 ]
 
 _LIB = None
@@ -64,6 +65,13 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
             lib.hn_encode_bits.restype = ctypes.c_int64
+            if not hasattr(lib, "hn_decode_prefix_lut"):
+                continue  # stale .so from before v2; rebuild via make
+            lib.hn_decode_prefix_lut.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64]
+            lib.hn_decode_prefix_lut.restype = ctypes.c_int64
             _LIB = lib
             break
     return _LIB
@@ -127,3 +135,34 @@ def encode_bits(data: np.ndarray, codes: np.ndarray, lengths: np.ndarray):
         raise ValueError(f"native encode_bits failed (rc={total})")
     n_words = (int(total) + 31) // 32
     return words[: n_words + 1], int(total)
+
+
+def decode_prefix_lut(
+    payload: np.ndarray,
+    total_bits: int,
+    lut_sym: np.ndarray,
+    lut_len: np.ndarray,
+    lut_bits: int,
+    out_cap: int,
+) -> np.ndarray:
+    """Sequential flat-LUT prefix-code walk over an MSB-first byte stream.
+
+    Native-speed oracle for arbitrary (possibly non-canonical) prefix codes —
+    the role of `sequential.cpp:88-94`'s bit-by-bit map loop, fast enough to
+    cross-validate 100 MB blobs against the compiled reference binary.
+    """
+    lib = _load()
+    assert lib is not None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    lut_sym = np.ascontiguousarray(lut_sym, np.uint8)
+    lut_len = np.ascontiguousarray(lut_len, np.uint8)
+    assert lut_sym.size == lut_len.size == (1 << lut_bits)
+    out = np.empty(out_cap, np.uint8)
+    n = lib.hn_decode_prefix_lut(
+        payload.ctypes.data, payload.size, total_bits,
+        lut_sym.ctypes.data, lut_len.ctypes.data, lut_bits,
+        out.ctypes.data, out.size,
+    )
+    if n < 0:
+        raise ValueError(f"native prefix-LUT decode failed (rc={n})")
+    return out[:n].copy()

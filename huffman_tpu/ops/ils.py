@@ -39,6 +39,7 @@ from .pallas.ils_kernels import (
 __all__ = [
     "IlsSection",
     "IlsVmemError",
+    "certify_params",
     "ils_encode_device",
     "ils_decode_device",
     "round_band",
@@ -103,6 +104,50 @@ def round_cap(rows: int) -> int:
     return -(-rows // 256) * 256
 
 
+def certify_params(
+    *,
+    k: int,
+    snum: int,
+    n_tiles: int,
+    w_tiles: np.ndarray,
+    dec_min: np.ndarray,
+    dec_max: np.ndarray,
+    extra_band_pairs: int = 0,
+) -> IlsParams:
+    """Turn measured schedule envelopes into certified container params.
+
+    The refill/emission window ``[base, base + band)`` must fit the tile's
+    pair capacity (kernel scratch bound: ``band <= w_cap // 2``).  When the
+    measured envelope needs more, the cap is WIDENED — the extra rows are
+    pure zero slack — rather than the band silently narrowed below the
+    envelope, which would corrupt the stream with no error (the container
+    invariant `core/ils_ref.py::ils_decode_np` enforces).  Raises
+    ``IlsVmemError`` when even the widened cap exceeds the VMEM budget (the
+    codec retries with a smaller k).
+    """
+    w_cap = round_cap(int(w_tiles.max()))
+    dec_span = int(np.maximum(dec_max - dec_min, 0).max(initial=0))
+    w_band = round_band(dec_span + 2)  # in pairs
+    need_cap = 2 * max(w_band, extra_band_pairs)
+    if need_cap > w_cap:
+        w_cap = round_cap(need_cap)
+    if w_cap > VMEM_ROW_BUDGET and k > MIN_K:
+        # at MIN_K the real budget always fits: k=2048 bounds both the
+        # storage rows (2*ceil(2048*16/64) = 1024) and the widened band cap
+        # (round_cap(2*round_band(span+2)) <= 1280) well under the budget
+        raise IlsVmemError(
+            f"k={k} with w_cap={w_cap} exceeds the VMEM row budget; "
+            "re-encode with a smaller k"
+        )
+    assert w_band <= w_cap // 2  # guaranteed by the widening above
+    boffs = np.where(dec_min <= dec_max, dec_min, 0).astype(np.int32)
+    return IlsParams(
+        k=k, snum=snum, boffs=boffs, w_band=int(w_band),
+        w_cap=int(w_cap), w_tiles=w_tiles.astype(np.int32),
+        n_tiles=n_tiles,
+    )
+
+
 @dataclasses.dataclass
 class IlsSection:
     """One uniform-k run of tiles plus its interleaved payload."""
@@ -146,7 +191,7 @@ def ils_encode_to_device(
     snum = ils_schedule_numer(avg_bits)
     params_j = jnp.asarray(np.array([snum, 0], np.int32))
 
-    def finish(bits_dev, dn_dev, dx_dev):
+    def finish(bits_dev, dn_dev, dx_dev, extra_band_pairs=0):
         # even word counts (pair granularity), >= 4 for the 128-bit
         # register init.  dn/dx are per-(tile, ILS_WIN window) envelopes
         # (n_tiles, n_win, 8, 128); lanes reduce on device.
@@ -155,19 +200,10 @@ def ils_encode_to_device(
         ).astype(np.int64)
         dec_min = np.asarray(jnp.min(dn_dev, axis=(2, 3)))  # (n_tiles, n_win)
         dec_max = np.asarray(jnp.max(dx_dev, axis=(2, 3)))
-        w_cap = round_cap(int(w_tiles.max()))
-        if w_cap > VMEM_ROW_BUDGET and k > MIN_K:
-            raise IlsVmemError(
-                f"k={k} with w_cap={w_cap} exceeds the VMEM row budget; "
-                "re-encode with a smaller k"
-            )
-        dec_span = int(np.maximum(dec_max - dec_min, 0).max(initial=0))
-        w_band = min(round_band(dec_span + 2), w_cap // 2)  # in pairs
-        boffs = np.where(dec_min <= dec_max, dec_min, 0).astype(np.int32)
-        return IlsParams(
-            k=k, snum=snum, boffs=boffs, w_band=int(w_band),
-            w_cap=int(w_cap), w_tiles=w_tiles.astype(np.int32),
-            n_tiles=n_tiles,
+        return certify_params(
+            k=k, snum=snum, n_tiles=n_tiles, w_tiles=w_tiles,
+            dec_min=dec_min, dec_max=dec_max,
+            extra_band_pairs=extra_band_pairs,
         )
 
     if max_len is None:
@@ -184,25 +220,33 @@ def ils_encode_to_device(
         )
         if not int(jnp.max(viol)):
             params = finish(bits, dn, dx)
-            row_starts_dev = jnp.asarray(
-                params.row_starts[:-1].astype(np.int32)
-            )
-            payload_rows = ils_compact(
-                pay_s, row_starts_dev, stride_rows=stride_rows,
-                w_cap=params.w_cap, total_rows=params.total_rows,
-                interpret=interpret,
-            )
-            return payload_rows, row_starts_dev, params
-        # out-of-band emission (pathological schedule): certify first
+            # ils_compact over-reads w_cap rows per tile from the strided
+            # region; the last tile's over-read must stay inside the
+            # trailing stride_rows of slack.  An envelope-widened w_cap can
+            # (pathologically) exceed that — use the two-pass path then,
+            # whose buffers size themselves to w_cap.
+            if params.w_cap <= 2 * stride_rows:
+                row_starts_dev = jnp.asarray(
+                    params.row_starts[:-1].astype(np.int32)
+                )
+                payload_rows = ils_compact(
+                    pay_s, row_starts_dev, stride_rows=stride_rows,
+                    w_cap=params.w_cap, total_rows=params.total_rows,
+                    interpret=interpret,
+                )
+                return payload_rows, row_starts_dev, params
+        # out-of-band emission or oversized widened cap: certify first
 
     bits, dec_min, dec_max, enc_min, enc_max = ils_lengths_pass(
         data_i32, params_j, enc, k=k, interpret=interpret
     )
-    params = finish(bits, dec_min, dec_max)
     enc_min = np.asarray(jnp.min(enc_min, axis=(2, 3)))  # (n_tiles, n_win)
     enc_max = np.asarray(jnp.max(enc_max, axis=(2, 3)))
     enc_span = int(np.maximum(enc_max - enc_min, 0).max(initial=0))
-    w_band_enc = min(round_band(enc_span + 2), params.w_cap // 2)
+    w_band_enc = round_band(enc_span + 2)
+    # the emission window needs w_band_enc <= w_cap // 2 as well; let finish
+    # widen the cap for whichever envelope is larger
+    params = finish(bits, dec_min, dec_max, extra_band_pairs=w_band_enc)
     boffs_enc = np.where(enc_min <= enc_max, enc_min, 0).astype(np.int32)
 
     row_starts_dev = jnp.asarray(params.row_starts[:-1].astype(np.int32))
@@ -254,6 +298,13 @@ def ils_decode_device(
 ) -> np.ndarray:
     """Decode one section back to flat bytes (n_tiles * k * 1024 of them)."""
     p = section.params
+    if not (1 <= p.w_band <= p.w_cap // 2):
+        # our encoder guarantees this (finish() widens w_cap); a foreign or
+        # corrupted container must not drive the kernel out of its scratch
+        raise ValueError(
+            f"invalid ILS section: w_band={p.w_band} outside "
+            f"[1, w_cap//2={p.w_cap // 2}]"
+        )
     rows = section.payload.view(np.int32).reshape(-1, 8, 128)
     slack = np.zeros((p.w_cap, 8, 128), np.int32)
     payload_rows = jnp.asarray(np.concatenate([rows, slack], axis=0))

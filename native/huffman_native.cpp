@@ -207,6 +207,43 @@ int64_t hn_encode_bits(const uint8_t* data, int64_t n,
     return total;
 }
 
-int hn_version(void) { return 1; }
+// ---------------------------------------------------------------------
+// Sequential prefix-code LUT walk (arbitrary, possibly non-canonical codes)
+// ---------------------------------------------------------------------
+// The role of the reference sequential decoder's bit-by-bit map loop
+// (sequential.cpp:88-94) at native speed: foreign greedy-tree codes are not
+// canonical, so the vectorized device decoders cannot take them; this walk
+// makes 100MB-scale binary interop validation against the compiled
+// reference practical. lut_sym/lut_len have 2^lut_bits entries (flat LUT,
+// every codeword replicated across its suffix range). Returns the symbol
+// count, or negative on error (no codeword matches / output overflow).
+int64_t hn_decode_prefix_lut(const uint8_t* payload, int64_t n_bytes,
+                             int64_t total_bits,
+                             const uint8_t* lut_sym, const uint8_t* lut_len,
+                             int lut_bits,
+                             uint8_t* out, int64_t out_cap) {
+    if (lut_bits < 1 || lut_bits > 24) return -3;
+    int64_t pos = 0, no = 0;
+    while (pos < total_bits) {
+        int64_t byte = pos >> 3;
+        uint64_t w = 0;
+        if (byte + 8 <= n_bytes) {
+            // big-endian load: MSB-first bitstream
+            for (int j = 0; j < 8; j++) w = (w << 8) | payload[byte + j];
+        } else {
+            for (int j = 0; j < 8; j++)
+                w = (w << 8) | (byte + j < n_bytes ? payload[byte + j] : 0);
+        }
+        uint32_t idx = (uint32_t)((w << (pos & 7)) >> (64 - lut_bits));
+        int l = lut_len[idx];
+        if (l == 0) return -1;
+        if (no >= out_cap) return -2;
+        out[no++] = lut_sym[idx];
+        pos += l;
+    }
+    return no;
+}
+
+int hn_version(void) { return 2; }
 
 }  // extern "C"

@@ -49,6 +49,25 @@ def test_container_roundtrip():
     np.testing.assert_array_equal(out, data)
 
 
+def test_htc1_container_detects_corruption():
+    data = generate_redundant(60_000, 0.5, seed=31)
+    codec = GapArrayCodec.fit(data, block_bytes=1 << 16)
+    blob = bytearray(write_container(codec.encode(data)))
+    # flip a payload bit near the end
+    bad = bytearray(blob)
+    bad[-3] ^= 0x10
+    with pytest.raises(ValueError, match="checksum"):
+        read_container(bytes(bad))
+    # flip a bit in the first block's segment metadata
+    bad = bytearray(blob)
+    meta_off = len(blob) - 4 * sum(
+        -(-tb // 32) for tb in codec.encode(data).block_total_bits
+    ) - 2  # inside the last block's meta/payload region either way
+    bad[meta_off] ^= 0x01
+    with pytest.raises(ValueError, match="checksum"):
+        read_container(bytes(bad))
+
+
 def test_compression_beats_raw_and_overhead_is_small():
     data = generate_redundant(1_000_000, 0.9, seed=4)
     codec = GapArrayCodec.fit(data, block_bytes=1 << 18)

@@ -248,3 +248,90 @@ def test_codec_multi_section(monkeypatch):
     assert len(comp.sections) == 4  # 2+2+1 full tiles, then the tail
     blob = write_ils_container(comp)
     assert np.array_equal(codec.decode(read_ils_container(blob)), data)
+
+
+# ----------------------------------------------------------------------
+# Band certification: the window must always cover the measured envelope
+# ----------------------------------------------------------------------
+def test_certify_widens_cap_instead_of_clamping_band():
+    # Synthetic envelope whose span exceeds half the storage-driven cap:
+    # round-1 code silently clamped w_band to w_cap//2 (corrupting the
+    # stream with no error); certify_params must widen w_cap instead.
+    from huffman_tpu.ops.ils import certify_params
+
+    w_tiles = np.array([64], np.int64)  # storage cap would be 64 rows
+    dec_min = np.array([[0]], np.int64)
+    dec_max = np.array([[100]], np.int64)  # span 100 pairs > 64//2
+    p = certify_params(
+        k=2048, snum=1 << 16, n_tiles=1, w_tiles=w_tiles,
+        dec_min=dec_min, dec_max=dec_max,
+    )
+    assert p.w_band >= 102
+    assert p.w_band <= p.w_cap // 2
+    assert p.w_cap >= 2 * p.w_band
+
+
+def test_certify_enc_band_widens_cap():
+    from huffman_tpu.ops.ils import certify_params
+
+    p = certify_params(
+        k=2048, snum=1 << 16, n_tiles=1,
+        w_tiles=np.array([32], np.int64),
+        dec_min=np.array([[0]], np.int64),
+        dec_max=np.array([[4]], np.int64),
+        extra_band_pairs=96,  # emission envelope needs a 96-pair window
+    )
+    assert p.w_cap >= 192
+
+
+def test_certify_raises_vmem_beyond_budget():
+    from huffman_tpu.ops.ils import IlsVmemError, certify_params
+
+    with pytest.raises(IlsVmemError):
+        certify_params(
+            k=4096, snum=1 << 16, n_tiles=1,
+            w_tiles=np.array([64], np.int64),
+            dec_min=np.array([[0]], np.int64),
+            dec_max=np.array([[3000]], np.int64),
+        )
+
+
+def test_decode_rejects_invalid_band():
+    from huffman_tpu.ops.ils import IlsSection
+    from huffman_tpu.core.ils_ref import IlsParams
+    from dataclasses import replace
+
+    k = 8
+    data = generate_redundant(k * ILS_LANES, 0.5, seed=22)
+    table = _fit(data)
+    enc, dec = ils_enc_tabs(table), ils_dec_tabs(table)
+    avg = float(table.lengths.astype(np.int64)[data].mean())
+    sec = ils_encode_device(data, table, enc, k=k, avg_bits=avg, interpret=True)
+    bad = IlsSection(
+        params=replace(sec.params, w_band=sec.params.w_cap // 2 + 1),
+        payload=sec.payload,
+    )
+    with pytest.raises(ValueError, match="w_band"):
+        ils_decode_device(bad, table, dec, interpret=True)
+
+
+def test_lane_skewed_adversarial_roundtrip():
+    # Half the streams of a tile all-zeros (shortest codes), half uniform
+    # random (longest codes): the widest cross-lane schedule spread a tile
+    # can see.  The oracle decoder raises if any refill leaves the band, so
+    # a clean round-trip certifies the band actually covers the envelope.
+    k = 256
+    rng = np.random.default_rng(23)
+    n = k * ILS_LANES
+    u32 = np.zeros(n // 4, np.uint32)
+    idx = np.arange(n // 4)
+    randmask = (idx % ILS_LANES) >= 512
+    u32[randmask] = rng.integers(
+        0, 1 << 32, size=int(randmask.sum()), dtype=np.uint32
+    )
+    data = np.frombuffer(u32.astype("<u4").tobytes(), np.uint8)
+    table = _fit(data)
+    payload, params = ils_encode_np(data, table, k)
+    assert 1 <= params.w_band <= params.w_cap // 2
+    out = ils_decode_np(payload, params, table)
+    assert np.array_equal(out, data)
