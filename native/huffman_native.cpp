@@ -229,7 +229,8 @@ int64_t hn_decode_prefix_lut(const uint8_t* payload, int64_t n_bytes,
         uint64_t w = 0;
         if (byte + 8 <= n_bytes) {
             // big-endian load: MSB-first bitstream
-            for (int j = 0; j < 8; j++) w = (w << 8) | payload[byte + j];
+            std::memcpy(&w, payload + byte, 8);
+            w = __builtin_bswap64(w);
         } else {
             for (int j = 0; j < 8; j++)
                 w = (w << 8) | (byte + j < n_bytes ? payload[byte + j] : 0);
