@@ -205,7 +205,9 @@ class GapArrayCodec:
             counts[j, : comp.block_counts[i].size] = comp.block_counts[i]
         max_count = _round_up(max(int(counts.max()), 1), 8)
 
-        if self.method == "pallas":
+        from ..ops.compact import MAX_ROW_BYTES
+
+        if self.method == "pallas" and max_count <= MAX_ROW_BYTES:
             return self._decode_group_pallas(
                 words, gaps, counts, max_count, out_size
             )
@@ -224,42 +226,35 @@ class GapArrayCodec:
         return np.asarray(out)
 
     def _decode_group_pallas(self, words, gaps, counts, max_count, out_size):
-        """Pallas ranks kernel + host mask compaction (the fast gap path).
+        """Pallas ranks kernel + device ragged-concat placement.
 
         The ragged-output placement that the reference does with prefix sums
-        + atomicOr (`decoder/src/decoder.cu:571-729`) happens on host as a
-        boolean-mask extraction over the padded rank matrix — per-element
-        device gathers are far slower than the D2H + NumPy mask on this
-        hardware (see BASELINE.md methodology notes).
+        + atomicOr (`decoder/src/decoder.cu:571-729`) runs on device via the
+        banded compaction kernel (`ops/pallas/compact_kernel.py`); only the
+        final decoded bytes cross to the host.  Degenerate tables whose
+        segments exceed the kernel's row budget (sub-2-bit mean code length)
+        fall back to the XLA decode path.
         """
-        from ..ops.pallas.decode_kernel import decode_ranks_pallas
+        from ..ops.pallas.decode_kernel import decode_block_pallas
 
         g, n_segs = gaps.shape
         out = np.empty((g, out_size), np.uint8)
-        symtab = np.zeros(256, np.uint8)
-        symtab[: self.table.num_symbols] = self.table.symtab
         interpret = jax.default_backend() != "tpu"
         for j in range(g):
-            ranks = decode_ranks_pallas(
+            dev = decode_block_pallas(
                 jnp.asarray(words[j]),
-                jnp.asarray(gaps[j]),
-                jnp.asarray(counts[j]),
+                gaps[j],
+                counts[j],
                 self.dec,
+                symtab=self.table.symtab,
                 spec=self.spec,
                 seg_bits=self.seg_bits,
                 n_segs=n_segs,
                 max_count=max_count,
+                out_size=out_size,
                 interpret=interpret,
             )
-            ranks_h = np.asarray(ranks)[:, :n_segs]
-            by_sym = (
-                np.frombuffer(ranks_h.astype(">u4").tobytes(), np.uint8)
-                .reshape(ranks_h.shape[0], n_segs, 4)
-                .transpose(1, 0, 2)
-                .reshape(n_segs, -1)
-            )
-            mask = np.arange(by_sym.shape[1])[None, :] < counts[j][:, None]
-            out[j] = symtab[by_sym[mask]]
+            out[j] = np.asarray(dev)
         return out
 
     def decode(self, comp: Compressed) -> np.ndarray:

@@ -119,7 +119,17 @@ def selfsync_decode_words(
         max_count=max_count,
         interpret=interpret,
     )
-    # host compaction: packed big-endian ranks -> ragged concat via mask
+    from ..ops.compact import MAX_ROW_BYTES, compact_ranks_device
+
+    if max_count <= MAX_ROW_BYTES:
+        # device ragged-concat placement (ops/pallas/compact_kernel.py):
+        # only the final decoded bytes cross to the host
+        dev = compact_ranks_device(
+            ranks, counts_h, table.symtab, total_syms, interpret=interpret
+        )
+        return np.asarray(dev)
+
+    # degenerate sub-2-bit codes: host mask compaction over padded ranks
     ranks_h = np.asarray(ranks)[:, :n_subseq]  # (out_rows, n)
     by_sym = (
         np.frombuffer(ranks_h.astype(">u4").tobytes(), np.uint8)

@@ -1,0 +1,155 @@
+"""Device-side ragged output placement for gap-array / self-sync decode.
+
+Bridges `decode_ranks_pallas` (padded per-segment rank matrix) to the
+`ragged_concat_pallas` kernel: the role of the reference's on-GPU placement
+phase (`Huffman_coding_Gap_arrays/decoder/src/decoder.cu:571-729`), with the
+prefix sums and band certification done host-side from the exact per-segment
+counts (already host data in every caller) and zero O(payload) device<->host
+traffic.
+
+The kernel works on one output *chunk* (<= CHUNK_OUT_BYTES) at a time so the
+segment-row window stays within VMEM whatever the block size; chunks slice a
+shared device row array and run the same compiled kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pallas.compact_kernel import (
+    MAX_ROW_BYTES,
+    TILE_BYTES,
+    plan_tiles,
+    ragged_concat_pallas,
+)
+
+__all__ = ["compact_ranks_device", "CHUNK_OUT_BYTES", "MAX_ROW_BYTES"]
+
+CHUNK_OUT_BYTES = 1 << 21  # 2 MiB of output per kernel invocation
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(x, m):
+    return _cdiv(x, m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rows_lsb(packed: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """(out_rows, S) MSB-first packed ranks -> (S, out_rows) LSB-first."""
+    del interpret
+    x = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    swapped = (
+        (x << 24)
+        | ((x & jnp.uint32(0xFF00)) << 8)
+        | ((x >> 8) & jnp.uint32(0xFF00))
+        | (x >> 24)
+    )
+    return jax.lax.bitcast_convert_type(swapped, jnp.int32).T
+
+
+def _sym_tiles(symtab: np.ndarray):
+    full = np.zeros(256, np.int32)
+    full[: symtab.size] = symtab
+    lo = jnp.asarray(np.tile(full[:128][None], (8, 1)))
+    hi = jnp.asarray(np.tile(full[128:][None], (8, 1)))
+    return lo, hi
+
+
+def compact_ranks_device(
+    packed: jnp.ndarray,
+    counts: np.ndarray,
+    symtab: np.ndarray,
+    out_size: int,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Place + permute decoded ranks into the final byte stream, on device.
+
+    Args:
+      packed: (out_rows, n_segs_p) int32 from `decode_ranks_pallas` (4 ranks
+        per word, MSB-first).
+      counts: (n_segs,) HOST symbol counts (sum == out_size).
+      symtab: (num_symbols,) canonical rank -> symbol.
+      out_size: total output bytes.
+
+    Returns a device (out_size,) uint8 array.  Raises ValueError when a
+    segment exceeds MAX_ROW_BYTES (caller falls back to the XLA path).
+    """
+    counts = np.asarray(counts, np.int64)
+    n_segs = counts.size
+    if out_size == 0 or n_segs == 0:
+        return jnp.zeros(out_size, jnp.uint8)
+    if int(counts.max(initial=0)) > MAX_ROW_BYTES:
+        raise ValueError(
+            f"segment count exceeds {MAX_ROW_BYTES} bytes; use the XLA path"
+        )
+    if packed.shape[0] > 128:
+        raise ValueError("rank matrix wider than one lane row (128 words)")
+
+    ends = np.cumsum(counts)
+    offs = ends - counts
+    assert int(ends[-1]) == out_size, (int(ends[-1]), out_size)
+
+    s_first_all, band = plan_tiles(counts, out_size)
+
+    # chunk the output; certify a shared segment-window size
+    n_chunks = _cdiv(out_size, CHUNK_OUT_BYTES)
+    chunk_sizes = [
+        min(CHUNK_OUT_BYTES, out_size - c * CHUNK_OUT_BYTES)
+        for c in range(n_chunks)
+    ]
+    sc0 = np.searchsorted(ends, np.arange(n_chunks) * CHUNK_OUT_BYTES,
+                          side="right").astype(np.int64)
+    sc1 = np.searchsorted(
+        offs, np.minimum((np.arange(n_chunks) + 1) * CHUNK_OUT_BYTES,
+                         out_size), side="left"
+    ).astype(np.int64)
+    s_cap = _round_up(int(np.max(sc1 - sc0)) + band, 8)
+
+    rows = _rows_lsb(packed)  # (n_segs_p, out_rows)
+    s_pad = _round_up(max(n_segs, 1), 8) + s_cap
+    r0 = min(rows.shape[0], s_pad)
+    rows = jnp.zeros((s_pad, 128), jnp.int32).at[
+        :r0, : rows.shape[1]
+    ].set(rows[:r0])
+
+    symlo, symhi = _sym_tiles(np.asarray(symtab, np.uint8))
+
+    offs_pad = np.full(s_pad, out_size, np.int64)
+    offs_pad[:n_segs] = offs
+    counts_pad = np.zeros(s_pad, np.int64)
+    counts_pad[:n_segs] = counts
+
+    pieces = []
+    tile0 = 0
+    for c in range(n_chunks):
+        cb = c * CHUNK_OUT_BYTES
+        n_tiles = _cdiv(chunk_sizes[c], TILE_BYTES)
+        base = int(sc0[c])
+        o_c = jnp.asarray(
+            (offs_pad[base : base + s_cap] - cb).astype(np.int32)[:, None]
+        )
+        c_c = jnp.asarray(counts_pad[base : base + s_cap]
+                          .astype(np.int32)[:, None])
+        s0_c = np.clip(
+            s_first_all[tile0 : tile0 + n_tiles].astype(np.int64) - base,
+            0, s_cap - band,
+        ).astype(np.int32)[:, None]
+        rows_c = jax.lax.dynamic_slice(rows, (base, 0), (s_cap, 128))
+        out_c = ragged_concat_pallas(
+            rows_c, o_c, c_c, jnp.asarray(s0_c), symlo, symhi,
+            band=band, n_tiles=n_tiles, interpret=interpret,
+        )
+        pieces.append(out_c.reshape(-1))
+        tile0 += n_tiles
+
+    words = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+    out = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1)
+    return out[:out_size]

@@ -208,16 +208,13 @@ def decode_ranks_pallas(
     return packed.reshape(out_rows, n_segs_p)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("spec", "seg_bits", "n_segs", "max_count", "out_size", "interpret"),
-)
 def decode_block_pallas(
     words: jnp.ndarray,
     gaps: jnp.ndarray,
-    counts: jnp.ndarray,
+    counts: "np.ndarray",
     dec: DeviceDecTable,
     *,
+    symtab: "np.ndarray",
     spec: DecSpec,
     seg_bits: int,
     n_segs: int,
@@ -225,14 +222,23 @@ def decode_block_pallas(
     out_size: int,
     interpret: bool = False,
 ):
-    """Full Pallas decode of one block: kernel + fused compaction/permutation.
+    """Full Pallas decode of one block: ranks kernel + device ragged concat.
 
-    Returns (out_size,) uint8.
+    ``counts`` and ``symtab`` are HOST arrays — the exact per-segment symbol
+    counts drive the compaction band certification (`ops/compact.py`), the
+    TPU-native form of the reference's on-GPU placement phase
+    (`decoder/src/decoder.cu:571-729`).  Returns a device (out_size,) uint8
+    array; nothing of payload size crosses the host boundary.
     """
+    import numpy as np
+
+    from ..compact import compact_ranks_device
+
+    counts_h = np.asarray(counts)[:n_segs]
     packed = decode_ranks_pallas(
         words,
-        gaps,
-        counts,
+        jnp.asarray(gaps),
+        jnp.asarray(counts_h.astype(np.int32)),
         dec,
         spec=spec,
         seg_bits=seg_bits,
@@ -240,20 +246,10 @@ def decode_block_pallas(
         max_count=max_count,
         interpret=interpret,
     )
-    counts_real = counts[:n_segs].astype(jnp.int32)
-    ends = jnp.cumsum(counts_real, dtype=jnp.int32)
-    out_offs = jnp.concatenate([jnp.zeros(1, jnp.int32), ends])
-    # Vectorized expand: seg id of output position k = (number of segment
-    # starts <= k) - 1, computed as a scatter of ones at the start offsets
-    # followed by a cumsum — avoids a searchsorted over the whole output
-    # (which the TPU runtime handles poorly at 10^8 queries).
-    starts = out_offs[:-1]
-    marks = jnp.zeros(out_size, jnp.int32).at[starts].add(
-        1, mode="drop", indices_are_sorted=True
+    return compact_ranks_device(
+        packed,
+        counts_h,
+        symtab,
+        out_size,
+        interpret=interpret,
     )
-    seg = jnp.cumsum(marks, dtype=jnp.int32) - 1
-    k = jnp.arange(out_size, dtype=jnp.int32)
-    t = k - out_offs[seg]
-    word = packed[t >> 2, seg]
-    rank = (word >> (8 * (3 - (t & 3)))) & 255
-    return dec.symtab[rank].astype(jnp.uint8)

@@ -1,0 +1,81 @@
+"""Device ragged-concat (compaction) kernel tests.
+
+The kernel is the TPU-native form of the reference's on-GPU ragged placement
+(`Huffman_coding_Gap_arrays/decoder/src/decoder.cu:571-729`): the oracle here
+is plain NumPy concatenation of each segment's first `count` bytes.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from huffman_tpu.ops import compact as compact_mod
+from huffman_tpu.ops.compact import MAX_ROW_BYTES, compact_ranks_device
+
+
+def _pack_case(n_segs, max_count, seed, zero_frac=0.1):
+    """Random ragged segments -> (packed MSB-first ranks, counts, expect)."""
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(0, max_count + 1, n_segs)
+    counts[rng.random(n_segs) < zero_frac] = 0
+    segs = [rng.integers(0, 256, c).astype(np.uint8) for c in counts]
+    ranks = np.concatenate(segs) if n_segs else np.zeros(0, np.uint8)
+    out_rows = -(-max(max_count, 1) // 4)
+    padded = np.zeros((n_segs, out_rows * 4), np.uint8)
+    for s, seg in enumerate(segs):
+        padded[s, : seg.size] = seg
+    b = padded.reshape(n_segs, out_rows, 4).astype(np.uint32)
+    packed = ((b[..., 0] << 24) | (b[..., 1] << 16) | (b[..., 2] << 8)
+              | b[..., 3]).T
+    symtab = rng.permutation(256).astype(np.uint8)
+    return packed.view(np.int32), counts, symtab, symtab[ranks]
+
+
+@pytest.mark.parametrize(
+    "n_segs,max_count,seed",
+    [(7, 16, 4), (40, 100, 1), (200, 256, 2), (640, MAX_ROW_BYTES, 3)],
+)
+def test_compact_matches_numpy_concat(n_segs, max_count, seed):
+    packed, counts, symtab, expect = _pack_case(n_segs, max_count, seed)
+    out = compact_ranks_device(
+        jnp.asarray(packed), counts, symtab, expect.size, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+def test_compact_chunk_crossing(monkeypatch):
+    # shrink the chunk so multiple kernel invocations + straddling segments
+    # are exercised without interpret-mode cost
+    monkeypatch.setattr(compact_mod, "CHUNK_OUT_BYTES", 1 << 14)
+    packed, counts, symtab, expect = _pack_case(400, 300, seed=9)
+    assert expect.size > 3 * (1 << 14)
+    out = compact_ranks_device(
+        jnp.asarray(packed), counts, symtab, expect.size, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+def test_compact_all_empty_and_single():
+    packed, counts, symtab, expect = _pack_case(16, 64, seed=11, zero_frac=1.0)
+    assert expect.size == 0
+    out = compact_ranks_device(
+        jnp.asarray(packed), counts, symtab, 0, interpret=True
+    )
+    assert np.asarray(out).size == 0
+
+    packed, counts, symtab, expect = _pack_case(1, 480, seed=12, zero_frac=0)
+    out = compact_ranks_device(
+        jnp.asarray(packed), counts, symtab, expect.size, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+def test_compact_rejects_oversized_rows():
+    packed, counts, symtab, expect = _pack_case(8, 64, seed=13)
+    counts = counts.copy()
+    counts[0] = MAX_ROW_BYTES + 1
+    with pytest.raises(ValueError, match="MAX_ROW_BYTES|XLA path"):
+        compact_ranks_device(
+            jnp.asarray(packed), counts, symtab, int(counts.sum()),
+            interpret=True,
+        )
