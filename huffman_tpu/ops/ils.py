@@ -25,6 +25,7 @@ from ..core.ils_ref import (
     ils_schedule_numer,
 )
 from .pallas.ils_kernels import (
+    CHUNK_I,
     IlsDecTabs,
     IlsEncTabs,
     ils_compact,
@@ -34,6 +35,8 @@ from .pallas.ils_kernels import (
     ils_lengths_pass,
     ils_pack,
     ils_pack_certify,
+    ils_pack_certify_stream,
+    ils_stream_span_rows,
 )
 
 __all__ = [
@@ -63,8 +66,13 @@ VMEM_ROW_BUDGET = 2800
 MIN_K = 2048
 
 # fused certify+pack writes at worst-case tile stride; the stride must fit
-# the pack scratch alongside the data chunks (see VMEM_ROW_BUDGET)
+# the pack scratch alongside the data chunks (see VMEM_ROW_BUDGET).  Beyond
+# it the STREAMING fused pack takes over (live-span scratch only).
 FUSED_STRIDE_BUDGET = 2048
+
+# bodies per grid chunk for the streaming pack (tests shrink this to
+# exercise the sliding window at small k)
+_STREAM_CHUNK_CAP = CHUNK_I
 
 
 class IlsVmemError(ValueError):
@@ -213,8 +221,20 @@ def ils_encode_to_device(
             max(int(np.asarray(enc.lo).max()), int(np.asarray(enc.hi).max()))
         ) >> 20
     stride_rows = max(2 * (-(-k * max_len // 64)), 4)
+    fused = None
     if stride_rows <= FUSED_STRIDE_BUDGET:
-        pay_s, bits, dn, dx, viol = ils_pack_certify(
+        fused = ils_pack_certify
+    else:
+        # worst-case stride exceeds the pack scratch (k=8192/16384 ratio
+        # mode): the streaming variant holds only the live emission span
+        # in VMEM and ships fixed-size windows per chunk
+        span = ils_stream_span_rows(k, stride_rows, chunk_cap=_STREAM_CHUNK_CAP)
+        if span is not None and span <= FUSED_STRIDE_BUDGET:
+            fused = functools.partial(
+                ils_pack_certify_stream, chunk_cap=_STREAM_CHUNK_CAP
+            )
+    if fused is not None:
+        pay_s, bits, dn, dx, viol = fused(
             data_i32, params_j, enc, k=k, stride_rows=stride_rows,
             interpret=interpret,
         )

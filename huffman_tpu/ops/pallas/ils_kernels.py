@@ -54,6 +54,8 @@ __all__ = [
     "ils_lengths_pass",
     "ils_pack",
     "ils_pack_certify",
+    "ils_pack_certify_stream",
+    "ils_stream_span_rows",
     "ils_compact",
     "ils_decode",
 ]
@@ -756,6 +758,305 @@ def ils_pack_certify(data_i32, params, enc: IlsEncTabs, *, k, stride_rows,
         ],
         scratch_shapes=[
             pltpu.VMEM((stride_rows, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((11, SUBLANES, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    small_sd = jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32)
+    env_sd = jax.ShapeDtypeStruct((n_tiles, n_win, SUBLANES, LANES), jnp.int32)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                ((n_tiles + 1) * stride_rows, SUBLANES, LANES), jnp.int32
+            ),
+            small_sd, env_sd, env_sd, small_sd,
+        ],
+        interpret=interpret,
+    )(params, enc.lo, enc.hi, data_i32)
+
+
+def _pack_certify_stream_kernel(
+    params_ref, lo_tab, hi_tab, data_ref,
+    out_pay, bits_ref, dnmin_ref, dnmax_ref, viol_ref,
+    pay, carry, sem, *, k, stride_rows, e_band, n_win, span_pairs, iters,
+    flush_g, interpret
+):
+    """Streaming fused certify+pack: a sliding VMEM emission window.
+
+    Same schedule/certification semantics as `_pack_certify_kernel`, but the
+    pack scratch holds only the LIVE span of pairs — emissions trail mu
+    monotonically (mu advances <= 1 pair per body, so the span per chunk is
+    bounded by ``iters + W`` pairs) — instead of the tile's full worst-case
+    stride.  This lifts the FUSED_STRIDE_BUDGET VMEM bound: k = 16384
+    (ratio mode) gets the one-pass encode (README roadmap item 1; the
+    reference encoder is likewise single-pass over data per phase,
+    `Huffman_coding_Gap_arrays/encoder/src/encoder.cu:142-355`).
+
+    Addressing: ``floor_c = clip(mu(c*iters) + boff_est, 0, cap - W)`` pairs
+    are final before chunk c (every later flush base is >= floor_c by the
+    monotonicity of the clip), so scratch row 0 maps to pair floor_c.  At
+    each chunk end a FIXED 2*iters-row DMA ships [floor_c, floor_c + iters)
+    to the strided HBM region — chunks overlap and a later chunk's DMA
+    rewrites any not-yet-final rows a previous one shipped, so the final
+    HBM content is complete; the last chunk ships the whole remaining span.
+    The live tail then shifts to row 0 and the vacated rows are re-zeroed
+    (in-band never-written lane slots must stay zero for bit-exactness with
+    the oracle payload)."""
+    t = pl.program_id(0)
+    c_idx = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    shape = (SUBLANES, LANES)
+    u32 = jnp.uint32
+    cap_pairs = stride_rows // 2
+    boff_est = -(e_band // 2)
+    span_rows = 2 * span_pairs
+
+    U = _unroll(iters, e_band, interpret)
+    G = flush_g if flush_g and U % flush_g == 0 else (2 if U % 2 == 0 else 1)
+    W = min(e_band + G, cap_pairs)
+    tail_rows = 2 * W
+    iota_pairs = jax.lax.broadcasted_iota(
+        jnp.int32, (W, 1, SUBLANES, LANES), 0
+    )
+
+    def _floor(c):
+        mu_c = (c * iters * params_ref[0]) >> 16
+        return jnp.clip(mu_c + boff_est, 0, cap_pairs - W)
+
+    floor_c = _floor(c_idx)
+
+    @pl.when(c_idx == 0)
+    def _init():
+        pay[:] = jnp.zeros((span_rows, SUBLANES, LANES), jnp.int32)
+        for j in range(6):
+            carry[j] = jnp.zeros(shape, jnp.int32)  # 192-bit accumulator
+        carry[6] = jnp.zeros(shape, jnp.int32)   # used
+        carry[7] = jnp.zeros(shape, jnp.int32)   # e_ptr (pairs)
+        carry[8] = jnp.full(shape, 128, jnp.int32)  # dec sim: valid
+        carry[9] = jnp.full(shape, 2, jnp.int32)    # dec sim: pptr
+        carry[10] = jnp.zeros(shape, jnp.int32)  # emission violation
+        dnmin_ref[0] = jnp.full((n_win,) + shape, _BIG, jnp.int32)
+        dnmax_ref[0] = jnp.full((n_win,) + shape, -_BIG, jnp.int32)
+
+    def flush2(a, used, e_ptr, base, viol, final=False):
+        e1 = used > 0 if final else used >= 64
+        e2 = used >= 128
+        rel = e_ptr - base
+        viol = viol | (
+            (e1 & ((rel < 0) | (rel >= W)))
+            | (e2 & ((rel + 1 < 0) | (rel + 1 >= W)))
+        ).astype(jnp.int32)
+        v00 = jnp.where(e1, pltpu.bitcast(a[0], jnp.int32), 0)
+        v01 = jnp.where(e1, pltpu.bitcast(a[1], jnp.int32), 0)
+        v10 = jnp.where(e2, pltpu.bitcast(a[2], jnp.int32), 0)
+        v11 = jnp.where(e2, pltpu.bitcast(a[3], jnp.int32), 0)
+        relc = jnp.clip(rel, 0, W - 1)
+        m1 = iota_pairs == relc[None, None]
+        m2 = iota_pairs == jnp.clip(rel + 1, 0, W - 1)[None, None]
+        v00 = jnp.where((rel >= 0) & (rel < W), v00, 0)
+        v01 = jnp.where((rel >= 0) & (rel < W), v01, 0)
+        v10 = jnp.where((rel + 1 >= 0) & (rel + 1 < W), v10, 0)
+        v11 = jnp.where((rel + 1 >= 0) & (rel + 1 < W), v11, 0)
+        contrib = jnp.where(m1, jnp.stack([v00, v01])[None], 0) | jnp.where(
+            m2, jnp.stack([v10, v11])[None], 0
+        )
+        brel = 2 * (base - floor_c)  # scratch row of the window
+        window = pay[pl.ds(brel, 2 * W)]
+        pay[pl.ds(brel, 2 * W)] = window | contrib.reshape(
+            2 * W, SUBLANES, LANES
+        )
+        a = tuple(
+            jnp.where(
+                e2,
+                a[j + 4] if j + 4 < 6 else u32(0),
+                jnp.where(e1, a[j + 2] if j + 2 < 6 else u32(0), a[j]),
+            )
+            for j in range(6)
+        )
+        cnt = e1.astype(jnp.int32) + e2.astype(jnp.int32)
+        return a, used - 64 * cnt, e_ptr + cnt, viol
+
+    def body(jj, st):
+        a, used, e_ptr, valid, pptr, viol = st
+        gdn = jnp.full(shape, _BIG, jnp.int32)
+        gdx = jnp.full(shape, -_BIG, jnp.int32)
+        for g in range(U // G):
+            i = U * jj + G * g
+            gi0 = c_idx * iters + i
+            base = _mu_base(gi0, params_ref[0], boff_est, cap_pairs, W)
+            for b in range(G):
+                w = data_ref[i + b]
+                used0 = used
+                for j in range(4):
+                    sym = (w >> (8 * j)) & 255
+                    a, used = _acc_insert(
+                        a, used, _lane_lookup(lo_tab[:], hi_tab[:], sym)
+                    )
+                l4 = used - used0
+                mu = ((gi0 + b) * params_ref[0]) >> 16
+                valid = valid - l4
+                refill = valid <= 64
+                dev = pptr - mu
+                gdn = jnp.minimum(gdn, jnp.where(refill, dev, _BIG))
+                gdx = jnp.maximum(gdx, jnp.where(refill, dev, -_BIG))
+                pptr = pptr + refill.astype(jnp.int32)
+                valid = valid + jnp.where(refill, 64, 0)
+            a, used, e_ptr, viol = flush2(a, used, e_ptr, base, viol)
+        wi = (c_idx * iters + U * jj) // ILS_WIN
+        dnmin_ref[0, pl.ds(wi, 1)] = jnp.minimum(
+            dnmin_ref[0, pl.ds(wi, 1)], gdn[None]
+        )
+        dnmax_ref[0, pl.ds(wi, 1)] = jnp.maximum(
+            dnmax_ref[0, pl.ds(wi, 1)], gdx[None]
+        )
+        return a, used, e_ptr, valid, pptr, viol
+
+    state = (
+        tuple(pltpu.bitcast(carry[j], u32) for j in range(6)),
+        carry[6], carry[7], carry[8], carry[9], carry[10],
+    )
+    st = jax.lax.fori_loop(0, iters // U, body, state, unroll=False)
+    a, used, e_ptr, valid, pptr, viol = st
+    for j in range(6):
+        carry[j] = pltpu.bitcast(a[j], jnp.int32)
+    carry[6], carry[7], carry[8], carry[9] = used, e_ptr, valid, pptr
+    carry[10] = viol
+
+    @pl.when(c_idx == n_chunks - 1)
+    def _fini():
+        bits_ref[0] = 64 * e_ptr + used
+        base = _mu_base(k // 4 - 1, params_ref[0], boff_est, cap_pairs, W)
+        _, _, _, viol2 = flush2(a, used, e_ptr, base, viol, final=True)
+        viol_ref[0] = viol2
+        # ship the whole remaining live span
+        dma = pltpu.make_async_copy(
+            pay,
+            out_pay.at[pl.ds(t * stride_rows + 2 * floor_c, span_rows)],
+            sem,
+        )
+        dma.start()
+        dma.wait()
+
+    @pl.when(c_idx < n_chunks - 1)
+    def _ship_chunk():
+        # fixed-size flush of [floor_c, floor_c + iters) — pairs beyond
+        # floor_{c+1} are stale here and get rewritten by a later chunk
+        dma = pltpu.make_async_copy(
+            pay.at[pl.ds(0, 2 * iters)],
+            out_pay.at[
+                pl.ds(t * stride_rows + 2 * floor_c, 2 * iters)
+            ],
+            sem,
+        )
+        dma.start()
+        dma.wait()
+        # slide the live tail to row 0 and re-zero the vacated span
+        shift = 2 * (_floor(c_idx + 1) - floor_c)
+        tail = pay[pl.ds(shift, tail_rows)]
+        pay[pl.ds(0, tail_rows)] = tail
+        pay[pl.ds(tail_rows, span_rows - tail_rows)] = jnp.zeros(
+            (span_rows - tail_rows, SUBLANES, LANES), jnp.int32
+        )
+
+    @pl.when((c_idx == n_chunks - 1) & (t == pl.num_programs(0) - 1))
+    def _zero_slack():
+        pay[:] = jnp.zeros((span_rows, SUBLANES, LANES), jnp.int32)
+        for rep in range(-(-stride_rows // span_rows)):
+            off = min(rep * span_rows, stride_rows - span_rows)
+            dma = pltpu.make_async_copy(
+                pay,
+                out_pay.at[
+                    pl.ds(pl.num_programs(0) * stride_rows + off, span_rows)
+                ],
+                sem,
+            )
+            dma.start()
+            dma.wait()
+
+
+def ils_stream_span_rows(k, stride_rows, e_band=FUSED_E_BAND,
+                         chunk_cap=CHUNK_I):
+    """Scratch rows `ils_pack_certify_stream` would need, or None when the
+    streaming pack is not viable for this shape (single chunk — the window
+    cannot slide — or a live span that would not beat the full stride).
+
+    Live span: flush bases stay in [floor_c, floor_{c+1}] and the emission
+    window extends W <= min(e_band + 2, stride//2) pairs past the base;
+    floor advances <= iters pairs per chunk."""
+    iters = _chunk_iters(k, chunk_cap)
+    if (k // 4) // iters < 2:
+        return None
+    span_rows = 2 * (iters + min(e_band + 2, stride_rows // 2) + 4)
+    if span_rows > stride_rows:
+        return None
+    return span_rows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "stride_rows", "interpret", "flush_g", "e_band", "chunk_cap"
+    ),
+)
+def ils_pack_certify_stream(
+    data_i32, params, enc: IlsEncTabs, *, k, stride_rows,
+    interpret=False, flush_g=None, e_band=FUSED_E_BAND, chunk_cap=CHUNK_I,
+):
+    """Streaming fused single-pass encode (sliding emission window).
+
+    Drop-in for `ils_pack_certify` when the worst-case stride exceeds VMEM
+    (k = 8192/16384): same strided payload layout, same bits/envelope/
+    violation contract, with ONE weaker guarantee: rows of a tile's stride
+    region beyond its live coverage (above the final chunk's shipped span)
+    are left UNSPECIFIED rather than zeroed — zero-filling them would DMA
+    the worst-case stride after all.  Tile rows [0, w_tile) are always
+    covered and exact, which is all `ils_compact` keeps; the trailing
+    stride_rows slack region IS still zeroed for its over-reads.  Requires
+    >= 2 chunks (the window must slide); `chunk_cap` is exposed so tests
+    can exercise the sliding logic at small k in interpret mode."""
+    if flush_g is not None and flush_g not in (1, 2):
+        raise ValueError("flush_g must be 1 or 2")
+    n_tiles = data_i32.shape[0] // (k // 4)
+    iters = _chunk_iters(k, chunk_cap)
+    n_chunks = (k // 4) // iters
+    n_win = ils_n_win(k)
+    span_rows = ils_stream_span_rows(k, stride_rows, e_band, chunk_cap)
+    if span_rows is None:
+        raise ValueError("streaming pack not viable; use ils_pack_certify")
+    span_pairs = span_rows // 2
+    kern = functools.partial(
+        _pack_certify_stream_kernel, k=k, stride_rows=stride_rows,
+        e_band=e_band, n_win=n_win, span_pairs=span_pairs, iters=iters,
+        flush_g=flush_g, interpret=interpret,
+    )
+    small = pl.BlockSpec(
+        (1, SUBLANES, LANES), lambda t, c, p: (t, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    winspec = pl.BlockSpec(
+        (1, n_win, SUBLANES, LANES), lambda t, c, p: (t, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((SUBLANES, LANES), lambda t, c, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, c, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (iters, SUBLANES, LANES),
+                lambda t, c, p: (t * n_chunks + c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            small, winspec, winspec, small,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((span_rows, SUBLANES, LANES), jnp.int32),
             pltpu.VMEM((11, SUBLANES, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],

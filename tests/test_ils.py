@@ -158,6 +158,97 @@ def test_fused_pack_violation_falls_back():
     assert int(jnp.max(viol)) == 1  # the skewed stream leaves the band
 
 
+def test_stream_pack_matches_fused():
+    # the streaming fused pack (sliding emission window, per-chunk DMA
+    # flushes) must reproduce the monolithic fused pack's outputs exactly:
+    # same strided payload, bits, refill envelopes, and violation flags
+    import jax.numpy as jnp
+
+    from huffman_tpu.core.ils_ref import ils_schedule_numer
+    from huffman_tpu.ops.ils import _as_tiles_i32
+    from huffman_tpu.ops.pallas.ils_kernels import (
+        ils_pack_certify,
+        ils_pack_certify_stream,
+        ils_stream_span_rows,
+    )
+
+    k = 256
+    n = 2 * k * ILS_LANES
+    data = generate_redundant(n, 0.5, seed=21)
+    table = _fit(data)
+    enc = ils_enc_tabs(table)
+    avg = float(table.lengths.astype(np.int64)[data].mean())
+    stride_rows = 128  # worst-case stride for max_len=16
+    assert ils_stream_span_rows(k, stride_rows, chunk_cap=8) is not None
+    snum = ils_schedule_numer(avg)
+    params = jnp.asarray(np.array([snum, 0], np.int32))
+    data_i32 = jnp.asarray(_as_tiles_i32(data, k))
+    ref = ils_pack_certify(
+        data_i32, params, enc, k=k, stride_rows=stride_rows, interpret=True
+    )
+    got = ils_pack_certify_stream(
+        data_i32, params, enc, k=k, stride_rows=stride_rows, interpret=True,
+        chunk_cap=8,
+    )
+    for name, a, b in zip(
+        ("bits", "dec_min", "dec_max", "viol"), ref[1:], got[1:]
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+    # payload contract: tile rows [0, w_tile) exact (all ils_compact keeps);
+    # rows beyond the live coverage are unspecified in the streaming layout
+    pay_ref, pay_got = np.asarray(ref[0]), np.asarray(got[0])
+    bits = np.asarray(ref[1])
+    for t in range(2):
+        w_t = 2 * (-(-int(bits[t].max()) // 64))
+        assert np.array_equal(
+            pay_ref[t * stride_rows : t * stride_rows + w_t],
+            pay_got[t * stride_rows : t * stride_rows + w_t],
+        ), f"tile {t}"
+    # trailing slack stays zeroed (read by ils_compact's last-tile over-read)
+    assert not pay_got[2 * stride_rows :].any()
+
+
+def test_encode_stream_roundtrip(monkeypatch):
+    # drive ils_encode_to_device down the STREAMING branch (stride over
+    # budget, span under it) and require the oracle-identical container
+    import jax.numpy as jnp
+
+    import huffman_tpu.ops.ils as ils_ops
+
+    k = 256
+    n = 3 * k * ILS_LANES
+    data = generate_redundant(n, 0.5, seed=22)
+    table = _fit(data)
+    enc, dec = ils_enc_tabs(table), ils_dec_tabs(table)
+    avg = float(table.lengths.astype(np.int64)[data].mean())
+    # stride for max_len=16 is 128 rows; span at chunk_cap=8 is 92
+    monkeypatch.setattr(ils_ops, "FUSED_STRIDE_BUDGET", 100)
+    monkeypatch.setattr(ils_ops, "_STREAM_CHUNK_CAP", 8)
+    monkeypatch.setattr(
+        ils_ops, "ils_pack_certify",
+        lambda *a, **kw: pytest.fail("monolithic fused pack must not run"),
+    )
+    monkeypatch.setattr(
+        ils_ops, "ils_pack",
+        lambda *a, **kw: pytest.fail("two-pass pack must not run"),
+    )
+    payload_np, params_np = ils_encode_np(data, table, k)
+    data_i32 = jnp.asarray(ils_ops._as_tiles_i32(data, k))
+    rows, _, p = ils_ops.ils_encode_to_device(
+        data_i32, enc, k=k, avg_bits=avg, max_len=16, interpret=True
+    )
+    payload = (
+        np.asarray(rows[: p.total_rows])
+        .reshape(p.total_rows, ILS_LANES)
+        .view(np.uint32)
+    )
+    assert np.array_equal(payload, payload_np)
+    assert p.w_band == params_np.w_band
+    sec = ils_ops.IlsSection(params=p, payload=payload)
+    out = ils_decode_device(sec, table, dec, interpret=True)
+    assert np.array_equal(out, data)
+
+
 def test_encode_two_pass_fallback(monkeypatch):
     # force the fused-path gate off: the certified two-pass encode must
     # still produce oracle-identical containers
