@@ -39,8 +39,14 @@ def _add_codec_args(p):
         help="ILS k policy: narrow refill band (speed) or minimal padding (ratio)",
     )
     p.add_argument(
-        "--method", choices=["lut", "canonical", "pallas"], default="lut",
+        "--method", choices=["lut", "canonical", "twolevel", "pallas"],
+        default="lut",
         help="htc1 decode inner-step implementation",
+    )
+    p.add_argument(
+        "--no-rotate", action="store_true",
+        help="disable the ILS lane-decorrelation rotation (writes a v3 "
+             "container readable by older decoders)",
     )
 
 
@@ -83,6 +89,7 @@ def _make_codec(args, data):
         return IlsCodec.fit(
             data, max_len=args.max_len, k=args.k,
             optimize=getattr(args, "optimize", "speed"),
+            rotate=not getattr(args, "no_rotate", False),
         )
     from .models import GapArrayCodec
 
@@ -239,7 +246,10 @@ def main(argv=None):
     p = sub.add_parser("decode", help="decompress a container (auto-detects ILS1/HTC1)")
     p.add_argument("input")
     p.add_argument("-o", "--output", required=True)
-    p.add_argument("--method", choices=["lut", "canonical", "pallas"], default="lut")
+    p.add_argument(
+        "--method", choices=["lut", "canonical", "twolevel", "pallas"],
+        default="lut",
+    )
     p.add_argument(
         "--format", choices=["auto", "yamamoto", "seq"], default="auto",
         help="force a reference format (these have no magic bytes)",

@@ -67,6 +67,8 @@ from .canonical import CodeTable, build_flat_lut
 __all__ = [
     "ILS_LANES",
     "ILS_WIN",
+    "ILS_ROT_SUB",
+    "ILS_ROT_LANE",
     "ils_n_win",
     "IlsParams",
     "ils_schedule_numer",
@@ -86,6 +88,20 @@ ILS_LANES = 1024  # streams per tile: one (8, 128) vreg of lanes
 # a blocky file needs w_band 256 with one anchor per tile but ~16-32 with
 # per-window anchors).  Cross-lane spread is unaffected either way.
 ILS_WIN = 64
+
+# Lane-decorrelation rotation (container v4).  Content that is periodic in
+# the 4 KB lane stride (page-aligned binaries, 512 B tar blocks cycled per
+# row) would hand every stream a skewed symbol distribution, spreading the
+# per-lane schedule deviations and widening the refill band.  With rotation
+# on, word row ``r`` is torus-rotated before the word->stream assignment:
+# stream (sub, lane) receives word ((sub - r*ROT_SUB) % 8,
+# (lane - r*ROT_LANE) % 128) of the row, so any content period folds across
+# many streams.  The decoder applies the inverse rotation to each decoded
+# word row, preserving decoded-output-is-the-data.  The constants are part
+# of the format: ROT_SUB is coprime to 8 and ROT_LANE to 128, so offsets
+# cycle through all 8 sublane and 128 lane phases.
+ILS_ROT_SUB = 3
+ILS_ROT_LANE = 5
 
 
 def ils_n_win(k: int) -> int:
@@ -109,6 +125,7 @@ class IlsParams:
     w_cap: int  # row capacity per tile in words (even, >= max W_t, static)
     w_tiles: np.ndarray  # (n_tiles,) int32 actual rows per tile (even)
     n_tiles: int
+    rot: bool = False  # lane-decorrelation rotation (see ILS_ROT_*)
 
     @property
     def row_starts(self) -> np.ndarray:
@@ -125,13 +142,26 @@ def ils_schedule_numer(avg_bits_per_symbol: float) -> int:
     return max(int(round(avg_bits_per_symbol * 4.0 / 64.0 * 65536.0)), 1)
 
 
-def ils_stream_symbols(data: np.ndarray, k: int) -> np.ndarray:
+def _rot_src_index(k: int, inverse: bool = False) -> np.ndarray:
+    """(k//4, ILS_LANES) flat word index each stream reads per row (or, for
+    ``inverse``, the flat stream index each word position reads back)."""
+    r = np.arange(k // 4)[:, None, None]
+    sub = np.arange(8)[None, :, None]
+    lane = np.arange(ILS_LANES // 8)[None, None, :]
+    sgn = 1 if inverse else -1
+    src_sub = (sub + sgn * r * ILS_ROT_SUB) % 8
+    src_lane = (lane + sgn * r * ILS_ROT_LANE) % (ILS_LANES // 8)
+    return (src_sub * (ILS_LANES // 8) + src_lane).reshape(k // 4, ILS_LANES)
+
+
+def ils_stream_symbols(data: np.ndarray, k: int, rot: bool = False) -> np.ndarray:
     """(n_tiles, k, LANES) uint8 symbol tensor from flat bytes.
 
     ``data.size`` must be a multiple of ``4 * ILS_LANES`` and ``k`` must be
     ``data.size // (ILS_LANES * n_tiles) `` with n_tiles integral; symbol
     ``4r+j`` of stream ``s`` in tile ``t`` is byte ``j`` (little-endian) of
-    u32 word ``t*(k//4)*1024 + r*1024 + s``.
+    u32 word ``t*(k//4)*1024 + r*1024 + s`` — or, with ``rot``, of the
+    torus-rotated word position (see ILS_ROT_SUB/ILS_ROT_LANE).
     """
     data = np.asarray(data, np.uint8)
     if k % 4 or k <= 0:
@@ -140,6 +170,9 @@ def ils_stream_symbols(data: np.ndarray, k: int) -> np.ndarray:
         raise ValueError("data size must be a multiple of k * 1024")
     n_tiles = data.size // (k * ILS_LANES)
     u32 = data.reshape(n_tiles, k // 4, ILS_LANES, 4)
+    if rot:
+        src = _rot_src_index(k)
+        u32 = np.take_along_axis(u32, src[None, :, :, None], axis=2)
     # (t, r, s, j) -> (t, 4r+j, s)
     return u32.transpose(0, 1, 3, 2).reshape(n_tiles, k, ILS_LANES)
 
@@ -216,12 +249,13 @@ def _round_cap(rows: int) -> int:
     return -(-rows // 256) * 256
 
 
-def ils_encode_np(data: np.ndarray, table: CodeTable, k: int):
+def ils_encode_np(data: np.ndarray, table: CodeTable, k: int,
+                  rot: bool = False):
     """Oracle ILS encoder.
 
     Returns (payload (total_rows, LANES) uint32, params: IlsParams).
     """
-    syms = ils_stream_symbols(data, k)  # (T, k, L)
+    syms = ils_stream_symbols(data, k, rot=rot)  # (T, k, L)
     n_tiles = syms.shape[0]
     lens = table.lengths[syms].astype(np.int64)
     if np.any(lens == 0):
@@ -254,6 +288,7 @@ def ils_encode_np(data: np.ndarray, table: CodeTable, k: int):
         w_cap=int(w_cap),
         w_tiles=w_tiles.astype(np.int32),
         n_tiles=n_tiles,
+        rot=rot,
     )
 
     row_starts = params.row_starts
@@ -348,7 +383,12 @@ def ils_decode_np(
                 a[w] = a[w] | np.where(j0 + 2 == w, lo1, 0)
             pptr = pptr + need
             valid = valid + 64 * need
-    # (t, 4r+j, s) -> bytes of u32 words
+    # (t, 4r+j, s) -> bytes of u32 words (inverting the lane rotation so
+    # decoded output is the original data)
     n_tiles = params.n_tiles
-    u32view = out.reshape(n_tiles, k // 4, 4, lanes).transpose(0, 1, 3, 2)
+    dec = out.reshape(n_tiles, k // 4, 4, lanes)
+    if params.rot:
+        src = _rot_src_index(k, inverse=True)
+        dec = np.take_along_axis(dec, src[None, :, None, :], axis=3)
+    u32view = dec.transpose(0, 1, 3, 2)
     return np.ascontiguousarray(u32view).reshape(-1)

@@ -173,17 +173,21 @@ def read_container(buf: bytes) -> Compressed:
 # ----------------------------------------------------------------------
 # Layout (little-endian):
 #   magic          4s  b"ILS1"
-#   version        u8  3   (v2 = pair-granular schedule: snum/boffs/w_band
+#   version        u8  4   (v2 = pair-granular schedule: snum/boffs/w_band
 #                           in word pairs, streams padded to even words;
 #                           v3 = band anchors per ILS_WIN-body window:
-#                           boffs is n_tiles * n_win(k) entries)
+#                           boffs is n_tiles * n_win(k) entries;
+#                           v4 = per-section flags word, bit0 = lane
+#                           rotation, core/ils_ref.py::ILS_ROT_*; a v3
+#                           reader must not decode a rotated section)
 #   max_len        u8
 #   n_sym          u16
 #   original_size  u64
 #   n_sections     u8
 #   n_sym x (symbol u8, length u8)     # canonical order
 #   per section:
-#     k u32, snum u32, reserved i32, w_band u32, w_cap u32, n_tiles u32
+#     k u32, snum u32, flags i32 (v3: reserved 0), w_band u32, w_cap u32,
+#     n_tiles u32
 #     n_tiles x w_tile u32
 #     n_tiles x n_win(k) x boff i32   # windowed decode band anchors
 #     payload u32 x (sum(w_tiles) * 1024)
@@ -220,10 +224,13 @@ def write_ils_container(comp) -> bytes:
     from ..models.ils_codec import IlsCompressed
 
     assert isinstance(comp, IlsCompressed)
+    # v3 readers reject v4, which any rotated section requires; plain
+    # sections keep writing v3 for older readers
+    version = 4 if any(sec.params.rot for sec in comp.sections) else 3
     parts = [
         _ILS_HEADER.pack(
             ILS_MAGIC,
-            3,
+            version,
             comp.table.max_len,
             comp.table.num_symbols,
             comp.original_size,
@@ -235,7 +242,9 @@ def write_ils_container(comp) -> bytes:
     for sec in comp.sections:
         p = sec.params
         parts.append(
-            _ILS_SECTION.pack(p.k, p.snum, 0, p.w_band, p.w_cap, p.n_tiles)
+            _ILS_SECTION.pack(
+                p.k, p.snum, int(bool(p.rot)), p.w_band, p.w_cap, p.n_tiles
+            )
         )
         parts.append(p.w_tiles.astype(np.uint32).tobytes())
         parts.append(p.boffs.astype(np.int32).tobytes())
@@ -253,7 +262,7 @@ def read_ils_container(buf: bytes):
         raise ValueError("not an ILS1 container (bad magic)")
     (_, version, max_len, n_sym, original_size, n_sections,
      crc_stored) = _ILS_HEADER.unpack_from(mv, 0)
-    if version != 3:
+    if version not in (3, 4):
         raise ValueError(f"unsupported ILS container version {version}")
     off = _ILS_HEADER.size
     entries = np.frombuffer(mv, np.uint8, 2 * n_sym, off).reshape(n_sym, 2)
@@ -266,9 +275,11 @@ def read_ils_container(buf: bytes):
     for _ in range(n_sections):
         if off + _ILS_SECTION.size > len(buf):
             raise ValueError("truncated ILS1 container")
-        k, snum, _reserved, w_band, w_cap, n_tiles = _ILS_SECTION.unpack_from(
+        k, snum, flags, w_band, w_cap, n_tiles = _ILS_SECTION.unpack_from(
             mv, off
         )
+        if flags & ~1:
+            raise ValueError(f"unknown ILS section flags {flags:#x}")
         off += _ILS_SECTION.size
         w_tiles = np.frombuffer(mv, np.uint32, n_tiles, off).astype(np.int32)
         off += 4 * n_tiles
@@ -295,6 +306,7 @@ def read_ils_container(buf: bytes):
             w_cap=int(w_cap),
             w_tiles=w_tiles,
             n_tiles=int(n_tiles),
+            rot=bool(flags & 1),
         )
         sections.append(IlsSection(params=params, payload=payload))
     if off != len(buf):

@@ -71,7 +71,8 @@ class IlsCodec:
     SECTION_BYTES = 1 << 30
 
     def __init__(self, table: CodeTable, *, k: int | None = None,
-                 optimize: str = "speed", interpret: bool | None = None):
+                 optimize: str = "speed", interpret: bool | None = None,
+                 rotate: bool = True):
         import jax
 
         self.table = table
@@ -83,6 +84,10 @@ class IlsCodec:
             jax.default_backend() != "tpu" if interpret is None else interpret
         )
         self.k = int(k) if k else pick_k(8.0, optimize)
+        # lane-decorrelation rotation (container v4): on by default — it
+        # costs two VPU rolls per row and protects real files whose content
+        # is periodic in the 4 KB lane stride; decode follows the container.
+        self.rotate = bool(rotate)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -94,6 +99,7 @@ class IlsCodec:
         k: int | None = None,
         optimize: str = "speed",
         interpret: bool | None = None,
+        rotate: bool = True,
     ) -> "IlsCodec":
         data = np.asarray(data, np.uint8)
         freqs = npref.histogram(data)
@@ -105,7 +111,7 @@ class IlsCodec:
                 (freqs * table.lengths.astype(np.int64)).sum() / max(freqs.sum(), 1)
             )
             k = pick_k(avg, optimize)
-        return cls(table, k=k, interpret=interpret)
+        return cls(table, k=k, interpret=interpret, rotate=rotate)
 
     # ------------------------------------------------------------------
     def _avg_bits(self, data: np.ndarray) -> float:
@@ -161,6 +167,7 @@ class IlsCodec:
                     self.enc,
                     k=k,
                     avg_bits=self._avg_bits(chunk),
+                    rot=self.rotate,
                     interpret=self.interpret,
                 )
             )

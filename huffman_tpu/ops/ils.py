@@ -121,6 +121,7 @@ def certify_params(
     dec_min: np.ndarray,
     dec_max: np.ndarray,
     extra_band_pairs: int = 0,
+    rot: bool = False,
 ) -> IlsParams:
     """Turn measured schedule envelopes into certified container params.
 
@@ -152,7 +153,7 @@ def certify_params(
     return IlsParams(
         k=k, snum=snum, boffs=boffs, w_band=int(w_band),
         w_cap=int(w_cap), w_tiles=w_tiles.astype(np.int32),
-        n_tiles=n_tiles,
+        n_tiles=n_tiles, rot=rot,
     )
 
 
@@ -181,6 +182,7 @@ def ils_encode_to_device(
     k: int,
     avg_bits: float,
     max_len: int | None = None,
+    rot: bool = False,
     interpret: bool = False,
 ):
     """Device-resident encode: returns (payload_rows, row_starts_dev, params).
@@ -211,7 +213,7 @@ def ils_encode_to_device(
         return certify_params(
             k=k, snum=snum, n_tiles=n_tiles, w_tiles=w_tiles,
             dec_min=dec_min, dec_max=dec_max,
-            extra_band_pairs=extra_band_pairs,
+            extra_band_pairs=extra_band_pairs, rot=rot,
         )
 
     if max_len is None:
@@ -236,7 +238,7 @@ def ils_encode_to_device(
     if fused is not None:
         pay_s, bits, dn, dx, viol = fused(
             data_i32, params_j, enc, k=k, stride_rows=stride_rows,
-            interpret=interpret,
+            rot=rot, interpret=interpret,
         )
         if not int(jnp.max(viol)):
             params = finish(bits, dn, dx)
@@ -258,7 +260,7 @@ def ils_encode_to_device(
         # out-of-band emission or oversized widened cap: certify first
 
     bits, dec_min, dec_max, enc_min, enc_max = ils_lengths_pass(
-        data_i32, params_j, enc, k=k, interpret=interpret
+        data_i32, params_j, enc, k=k, rot=rot, interpret=interpret
     )
     enc_min = np.asarray(jnp.min(enc_min, axis=(2, 3)))  # (n_tiles, n_win)
     enc_max = np.asarray(jnp.max(enc_max, axis=(2, 3)))
@@ -273,7 +275,7 @@ def ils_encode_to_device(
     payload_rows = ils_pack(
         data_i32, params_j, jnp.asarray(boffs_enc), row_starts_dev, enc,
         k=k, w_cap=params.w_cap, w_band=w_band_enc,
-        total_rows=params.total_rows, interpret=interpret,
+        total_rows=params.total_rows, rot=rot, interpret=interpret,
     )
     return payload_rows, row_starts_dev, params
 
@@ -285,6 +287,7 @@ def ils_encode_device(
     *,
     k: int,
     avg_bits: float,
+    rot: bool = False,
     interpret: bool = False,
 ) -> IlsSection:
     """Encode flat bytes (size must be a multiple of k*1024) into one section.
@@ -299,7 +302,7 @@ def ils_encode_device(
     data_i32 = jnp.asarray(_as_tiles_i32(data, k))
     payload_rows, _, params = ils_encode_to_device(
         data_i32, enc, k=k, avg_bits=avg_bits,
-        max_len=int(table.max_len_present), interpret=interpret,
+        max_len=int(table.max_len_present), rot=rot, interpret=interpret,
     )
     payload = (
         np.asarray(payload_rows[: params.total_rows])
@@ -342,6 +345,7 @@ def ils_decode_device(
         max_len=max(table.max_len_present, 1),
         min_len=max(table.min_len, 1),
         n_tiles=p.n_tiles,
+        rot=p.rot,
         interpret=interpret,
     )
     return np.asarray(out).view(np.uint32).reshape(-1).view("<u4").view(np.uint8)

@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...core.canonical import CodeTable
-from ...core.ils_ref import ILS_WIN, ils_n_win
+from ...core.ils_ref import ILS_ROT_LANE, ILS_ROT_SUB, ILS_WIN, ils_n_win
 
 __all__ = [
     "IlsEncTabs",
@@ -181,6 +181,21 @@ def _mu_base(i, snum, boff, w_cap, w_band):
     return jnp.clip(mu + boff, 0, w_cap - w_band)
 
 
+def _rot_fwd(w, gi):
+    """Torus-rotate word row ``gi`` onto its streams (lane decorrelation,
+    `core/ils_ref.py::ILS_ROT_SUB/ILS_ROT_LANE`): stream (sub, lane) reads
+    word ((sub - gi*ROT_SUB) % 8, (lane - gi*ROT_LANE) % 128)."""
+    w = pltpu.roll(w, (gi * ILS_ROT_SUB) % SUBLANES, 0)
+    return pltpu.roll(w, (gi * ILS_ROT_LANE) % LANES, 1)
+
+
+def _rot_inv(w, gi):
+    """Inverse of `_rot_fwd`: put decoded stream words back at the original
+    word positions of row ``gi`` (decoded output stays the data)."""
+    w = pltpu.roll(w, (-(gi * ILS_ROT_SUB)) % SUBLANES, 0)
+    return pltpu.roll(w, (-(gi * ILS_ROT_LANE)) % LANES, 1)
+
+
 def _acc_insert(a, used, entry):
     """OR one codeword into a 6-word (192-bit) MSB-first accumulator at bit
     offset ``used``.  entry = (len << 20) | code; codes are <= 16 bits so a
@@ -210,7 +225,7 @@ def _acc_insert(a, used, entry):
 def _lengths_kernel(
     params_ref, lenlo_ref, lenhi_ref, data_ref,
     bits_ref, dnmin_ref, dnmax_ref, enmin_ref, enmax_ref, carry, *, k,
-    n_win, interpret
+    n_win, rot, interpret
 ):
     """Schedule-v2 certification: one pair event per 4-symbol body.
 
@@ -238,6 +253,8 @@ def _lengths_kernel(
 
     def one(i, valid, used, pptr, e_ptr, dn, dx, en, ex):
         w = data_ref[i]
+        if rot:
+            w = _rot_fwd(w, c_idx * iters + i)
         mu = ((c_idx * iters + i) * params_ref[0]) >> 16
         l4 = jnp.zeros(shape, jnp.int32)
         for j in range(4):
@@ -296,8 +313,9 @@ def _lengths_kernel(
         bits_ref[0] = 64 * e_ptr + used
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
+@functools.partial(jax.jit, static_argnames=("k", "rot", "interpret"))
+def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, rot=False,
+                     interpret=False):
     """Schedule pass over (n_tiles*k//4, 8, 128) int32 data.
 
     params: (2,) int32 [snum, unused].  Returns (bits (n_tiles, 8, 128),
@@ -310,7 +328,7 @@ def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
     iters = _chunk_iters(k)
     n_win = ils_n_win(k)
     kern = functools.partial(
-        _lengths_kernel, k=k, n_win=n_win, interpret=interpret
+        _lengths_kernel, k=k, n_win=n_win, rot=rot, interpret=interpret
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -355,7 +373,7 @@ def ils_lengths_pass(data_i32, params, enc: IlsEncTabs, *, k, interpret=False):
 # ----------------------------------------------------------------------
 def _pack_kernel(
     params_ref, boffs_ref, starts_ref, lo_tab, hi_tab, data_ref, out_ref,
-    pay, carry, sem, *, k, w_cap, w_band, n_win, flush_g, interpret
+    pay, carry, sem, *, k, w_cap, w_band, n_win, flush_g, rot, interpret
 ):
     """Schedule-v2 pack: 192-bit accumulator, deferred two-body flush.
 
@@ -428,6 +446,8 @@ def _pack_kernel(
 
     def insert4(i, a, used):
         w = data_ref[i]
+        if rot:
+            w = _rot_fwd(w, c_idx * iters + i)
         for j in range(4):
             sym = (w >> (8 * j)) & 255
             a, used = _acc_insert(
@@ -480,11 +500,12 @@ def _pack_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "w_cap", "w_band", "total_rows", "interpret", "flush_g"
+        "k", "w_cap", "w_band", "total_rows", "rot", "interpret", "flush_g"
     ),
 )
 def ils_pack(data_i32, params, boffs, row_starts, enc: IlsEncTabs, *, k,
-             w_cap, w_band, total_rows, interpret=False, flush_g=None):
+             w_cap, w_band, total_rows, rot=False, interpret=False,
+             flush_g=None):
     """Pack pass: returns compact payload rows (total_rows + w_cap, 8, 128).
 
     boffs: (n_tiles, n_win) int32 windowed emission band anchors.
@@ -504,7 +525,7 @@ def ils_pack(data_i32, params, boffs, row_starts, enc: IlsEncTabs, *, k,
     boffs = boffs.reshape(n_tiles * n_win)
     kern = functools.partial(
         _pack_kernel, k=k, w_cap=w_cap, w_band=w_band, n_win=n_win,
-        flush_g=flush_g, interpret=interpret,
+        flush_g=flush_g, rot=rot, interpret=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -551,7 +572,8 @@ FUSED_E_BAND = 32
 def _pack_certify_kernel(
     params_ref, lo_tab, hi_tab, data_ref,
     out_pay, bits_ref, dnmin_ref, dnmax_ref, viol_ref,
-    pay, carry, sem, *, k, stride_rows, e_band, n_win, flush_g, interpret
+    pay, carry, sem, *, k, stride_rows, e_band, n_win, flush_g, rot,
+    interpret
 ):
     """One-pass encode: pack into a worst-case-stride payload region while
     simulating the decoder's refill schedule (the certification that
@@ -642,6 +664,8 @@ def _pack_certify_kernel(
             base = _mu_base(gi0, params_ref[0], boff_est, cap_pairs, W)
             for b in range(G):
                 w = data_ref[i + b]
+                if rot:
+                    w = _rot_fwd(w, gi0 + b)
                 used0 = used
                 for j in range(4):
                     sym = (w >> (8 * j)) & 255
@@ -710,10 +734,13 @@ def _pack_certify_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "stride_rows", "interpret", "flush_g", "e_band"),
+    static_argnames=(
+        "k", "stride_rows", "rot", "interpret", "flush_g", "e_band"
+    ),
 )
 def ils_pack_certify(data_i32, params, enc: IlsEncTabs, *, k, stride_rows,
-                     interpret=False, flush_g=None, e_band=FUSED_E_BAND):
+                     rot=False, interpret=False, flush_g=None,
+                     e_band=FUSED_E_BAND):
     """Fused single-pass encode at worst-case tile stride.
 
     Returns (payload_strided (n_tiles*stride_rows + stride_rows, 8, 128),
@@ -730,7 +757,7 @@ def ils_pack_certify(data_i32, params, enc: IlsEncTabs, *, k, stride_rows,
     n_win = ils_n_win(k)
     kern = functools.partial(
         _pack_certify_kernel, k=k, stride_rows=stride_rows, e_band=e_band,
-        n_win=n_win, flush_g=flush_g, interpret=interpret,
+        n_win=n_win, flush_g=flush_g, rot=rot, interpret=interpret,
     )
     small = pl.BlockSpec(
         (1, SUBLANES, LANES), lambda t, c, p: (t, 0, 0),
@@ -781,7 +808,7 @@ def _pack_certify_stream_kernel(
     params_ref, lo_tab, hi_tab, data_ref,
     out_pay, bits_ref, dnmin_ref, dnmax_ref, viol_ref,
     pay, carry, sem, *, k, stride_rows, e_band, n_win, span_pairs, iters,
-    flush_g, interpret
+    flush_g, rot, interpret
 ):
     """Streaming fused certify+pack: a sliding VMEM emission window.
 
@@ -888,6 +915,8 @@ def _pack_certify_stream_kernel(
             base = _mu_base(gi0, params_ref[0], boff_est, cap_pairs, W)
             for b in range(G):
                 w = data_ref[i + b]
+                if rot:
+                    w = _rot_fwd(w, gi0 + b)
                 used0 = used
                 for j in range(4):
                     sym = (w >> (8 * j)) & 255
@@ -997,11 +1026,12 @@ def ils_stream_span_rows(k, stride_rows, e_band=FUSED_E_BAND,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "stride_rows", "interpret", "flush_g", "e_band", "chunk_cap"
+        "k", "stride_rows", "rot", "interpret", "flush_g", "e_band",
+        "chunk_cap"
     ),
 )
 def ils_pack_certify_stream(
-    data_i32, params, enc: IlsEncTabs, *, k, stride_rows,
+    data_i32, params, enc: IlsEncTabs, *, k, stride_rows, rot=False,
     interpret=False, flush_g=None, e_band=FUSED_E_BAND, chunk_cap=CHUNK_I,
 ):
     """Streaming fused single-pass encode (sliding emission window).
@@ -1029,7 +1059,7 @@ def ils_pack_certify_stream(
     kern = functools.partial(
         _pack_certify_stream_kernel, k=k, stride_rows=stride_rows,
         e_band=e_band, n_win=n_win, span_pairs=span_pairs, iters=iters,
-        flush_g=flush_g, interpret=interpret,
+        flush_g=flush_g, rot=rot, interpret=interpret,
     )
     small = pl.BlockSpec(
         (1, SUBLANES, LANES), lambda t, c, p: (t, 0, 0),
@@ -1157,6 +1187,7 @@ def _decode_kernel(
     unroll,
     lazy,
     n_win,
+    rot,
     interpret,
 ):
     """Schedule-v2 decode: 128-bit register, one pair refill per body.
@@ -1374,6 +1405,8 @@ def _decode_kernel(
             gi = c_idx * iters + i0 + u
             for s in range(nt):
                 st[s], pk = quad(s, *st[s], gi, boffs[s])
+                if rot:
+                    pk = _rot_inv(pk, gi)
                 packs[s].append(pk)
         for s in range(nt):
             out_ref[s, pl.ds(i0, U)] = (
@@ -1401,8 +1434,8 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "w_cap", "w_band", "max_len", "min_len", "n_tiles", "interpret",
-        "nt", "unroll", "lazy"
+        "k", "w_cap", "w_band", "max_len", "min_len", "n_tiles", "rot",
+        "interpret", "nt", "unroll", "lazy"
     ),
 )
 def ils_decode(
@@ -1418,6 +1451,7 @@ def ils_decode(
     max_len,
     n_tiles,
     min_len=1,
+    rot=False,
     interpret=False,
     nt=None,
     unroll=None,
@@ -1455,7 +1489,7 @@ def ils_decode(
     kern = functools.partial(
         _decode_kernel, k=k, w_cap=w_cap, w_band=w_band, max_len=max_len,
         min_len=max(min(min_len, max_len), 1), nt=nt, iters=iters,
-        unroll=unroll, lazy=lazy, n_win=n_win, interpret=interpret,
+        unroll=unroll, lazy=lazy, n_win=n_win, rot=rot, interpret=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -79,6 +79,7 @@ def make_ils_sharded_decode(
     w_band: int,
     max_len: int,
     tiles_per_device: int,
+    rot: bool = False,
     interpret: bool = False,
 ):
     """Jitted sharded ILS decode.
@@ -109,16 +110,19 @@ def make_ils_sharded_decode(
             w_band=w_band,
             max_len=max_len,
             n_tiles=tiles_per_device,
+            rot=rot,
             interpret=interpret,
         )
         return out[None]
 
+    dec_jit = jax.jit(dec_fn)
+
     def fn(payload_dev, starts_dev, params, boffs_dev, dec):
         d, t = payload_dev.shape[0], tiles_per_device
-        out = dec_fn(payload_dev, starts_dev, params, boffs_dev, dec)
+        out = dec_jit(payload_dev, starts_dev, params, boffs_dev, dec)
         return out.reshape(d * t * (k // 4), 8, 128)
 
-    return jax.jit(dec_fn), fn
+    return dec_jit, fn
 
 
 def make_ils_sharded_roundtrip(
@@ -127,6 +131,7 @@ def make_ils_sharded_roundtrip(
     k: int,
     max_len: int,
     tiles_per_device: int,
+    rot: bool = False,
     interpret: bool = False,
 ):
     """Full device step over the mesh: ILS pack -> decode -> bit-exact check.
@@ -154,12 +159,12 @@ def make_ils_sharded_roundtrip(
         rows = ils_pack(
             local, params, boffs, starts, enc, k=k, w_cap=w_cap,
             w_band=w_cap // 2, total_rows=tiles_per_device * w_cap,
-            interpret=interpret,
+            rot=rot, interpret=interpret,
         )
         out = ils_decode(
             rows, starts, params, boffs, dec, k=k, w_cap=w_cap,
             w_band=w_cap // 2, max_len=max_len, n_tiles=tiles_per_device,
-            interpret=interpret,
+            rot=rot, interpret=interpret,
         )
         ok_local = jnp.all(out == local).astype(jnp.int32)
         ok = jax.lax.pmin(ok_local, DATA_AXIS)

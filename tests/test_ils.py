@@ -59,8 +59,9 @@ def test_oracle_roundtrip(r, k):
     assert np.array_equal(out, data)
 
 
+@pytest.mark.parametrize("rot", [False, True])
 @pytest.mark.parametrize("r", [0.0, 0.5, 0.9])
-def test_kernels_match_oracle(r):
+def test_kernels_match_oracle(r, rot):
     k = 12
     n = 2 * k * ILS_LANES
     data = generate_redundant(n, r, seed=4)
@@ -68,12 +69,15 @@ def test_kernels_match_oracle(r):
     enc, dec = ils_enc_tabs(table), ils_dec_tabs(table)
     avg = float(table.lengths.astype(np.int64)[data].mean())
 
-    payload_np, params_np = ils_encode_np(data, table, k)
-    sec = ils_encode_device(data, table, enc, k=k, avg_bits=avg, interpret=True)
+    payload_np, params_np = ils_encode_np(data, table, k, rot=rot)
+    sec = ils_encode_device(
+        data, table, enc, k=k, avg_bits=avg, rot=rot, interpret=True
+    )
     assert sec.params.snum == params_np.snum
     assert np.array_equal(sec.params.boffs, params_np.boffs)
     assert sec.params.w_band == params_np.w_band
     assert np.array_equal(sec.params.w_tiles, params_np.w_tiles)
+    assert sec.params.rot == rot
     assert np.array_equal(sec.payload, payload_np)
 
     out = ils_decode_device(sec, table, dec, interpret=True)
@@ -328,6 +332,63 @@ def test_container_detects_corruption():
     blob[-5] ^= 0x40  # flip a payload bit
     with pytest.raises(ValueError, match="checksum"):
         read_ils_container(bytes(blob))
+
+
+def test_container_version_follows_rotation():
+    # rotate=False keeps writing v3 (older readers stay compatible);
+    # rotate=True (the default) requires v4 so a v3 reader rejects it
+    # rather than silently mis-decoding a rotated layout
+    k = 8
+    data = generate_redundant(k * ILS_LANES, 0.5, seed=13)
+    for rotate, version in ((False, 3), (True, 4)):
+        codec = IlsCodec.fit(data, k=k, interpret=True, rotate=rotate)
+        comp = codec.encode(data)
+        blob = write_ils_container(comp)
+        assert blob[4] == version
+        comp2 = read_ils_container(blob)
+        assert comp2.sections[0].params.rot == rotate
+        assert np.array_equal(codec.decode(comp2), data)
+
+
+def test_container_rejects_unknown_section_flags():
+    k = 8
+    data = generate_redundant(k * ILS_LANES, 0.5, seed=13)
+    codec = IlsCodec.fit(data, k=k, interpret=True, rotate=False)
+    blob = bytearray(write_ils_container(codec.encode(data)))
+    # flags i32 sits 8 bytes into the first section struct
+    off = blob.index(b"ILS1") + 21 + 2 * codec.table.num_symbols + 8
+    blob[off] = 0x02
+    with pytest.raises(ValueError, match="flags|checksum"):
+        read_ils_container(bytes(blob))
+
+
+def test_rotation_decorrelates_periodic_content():
+    # content periodic in the 4 KB lane stride is the adversarial case the
+    # rotation exists for: without it every stream sees one fixed content
+    # column (skewed per-lane entropy -> wide band, long max stream);
+    # with it the skew folds across streams
+    k = 64
+    n = 2 * k * ILS_LANES
+    period = np.frombuffer(np.random.default_rng(0).bytes(4096), np.uint8)
+    period = period.copy()
+    period.reshape(8, 512)[::2] = 0  # half the 512 B sub-blocks low-entropy
+    data = np.tile(period, n // 4096)
+    table = _fit(data)
+    _, p_plain = ils_encode_np(data, table, k, rot=False)
+    _, p_rot = ils_encode_np(data, table, k, rot=True)
+    assert p_rot.w_band < p_plain.w_band
+    assert p_rot.total_rows < p_plain.total_rows  # less per-tile padding
+    # and the kernels agree with the oracle on this adversarial input
+    enc, dec = ils_enc_tabs(table), ils_dec_tabs(table)
+    avg = float(table.lengths.astype(np.int64)[data].mean())
+    sec = ils_encode_device(
+        data, table, enc, k=k, avg_bits=avg, rot=True, interpret=True
+    )
+    payload_np, params_np = ils_encode_np(data, table, k, rot=True)
+    assert np.array_equal(sec.payload, payload_np)
+    assert np.array_equal(
+        ils_decode_device(sec, table, dec, interpret=True), data
+    )
 
 
 def test_codec_multi_section(monkeypatch):

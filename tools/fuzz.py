@@ -81,11 +81,14 @@ def one_case(i, rng, interpret):
     from huffman_tpu.ops.pallas.ils_kernels import ils_enc_tabs
 
     kind, data, k, max_len = gen_case(rng)
+    rot = bool(rng.integers(2))
     freqs = npref.histogram(data)
     if int(np.count_nonzero(freqs)) > (1 << max_len):
         max_len = 16
 
-    codec = IlsCodec.fit(data, k=k, max_len=max_len, interpret=interpret)
+    codec = IlsCodec.fit(
+        data, k=k, max_len=max_len, interpret=interpret, rotate=rot
+    )
     comp = codec.encode(data)
     blob = write_ils_container(comp)
     out = codec.decode(read_ils_container(blob))
@@ -97,14 +100,14 @@ def one_case(i, rng, interpret):
     if n_full:
         chunk = data[:n_full]
         table = codec.table
-        payload_np, params_np = ils_encode_np(chunk, table, k)
+        payload_np, params_np = ils_encode_np(chunk, table, k, rot=rot)
         assert np.array_equal(
             ils_decode_np(payload_np, params_np, table), chunk
         ), "oracle roundtrip mismatch"
         sec = ils_encode_device(
             chunk, table, ils_enc_tabs(table), k=k,
             avg_bits=float(table.lengths.astype(np.int64)[chunk].mean()),
-            interpret=interpret,
+            rot=rot, interpret=interpret,
         )
         assert np.array_equal(sec.payload, payload_np), "payload != oracle"
         assert np.array_equal(sec.params.w_tiles, params_np.w_tiles)
