@@ -30,7 +30,7 @@ from ..core.canonical import CodeTable, canonical_code_table
 from ..core.package_merge import package_merge_lengths
 from ..core import npref
 from ..ops import (
-    DecSpec,
+    dec_spec,
     decode_block,
     device_dec_table,
     device_enc_table,
@@ -101,11 +101,9 @@ class GapArrayCodec:
         self.method = method
         self.enc = device_enc_table(table)
         self.dec = device_dec_table(table)
-        self.spec = DecSpec(
-            lut_bits=max(table.max_len_present, 1),
-            max_len=max(table.max_len_present, 1),
-            min_len=max(table.min_len, 1),
-        )
+        # dec_spec, not a hand-rolled DecSpec: the twolevel method needs the
+        # prefix/boundary fields filled in
+        self.spec = dec_spec(table)
 
     # ------------------------------------------------------------------
     @classmethod

@@ -16,8 +16,10 @@ TPU-native redesign of the gap-array decoder
 - a two-pass mode (`count_segments`) remains for reference-format streams
   that carry gaps only.
 
-Decode step uses either the flat LUT (one gather per step) or canonical limit
-arithmetic (<=15 compares, no big LUT) — selected by ``method``.
+Decode step uses the flat LUT (one gather per step), canonical limit
+arithmetic (<=15 compares, no big LUT), or the reference's two-level L1/L2
+probe (`get_table.cpp:48-139` + `decoder.cu:529-569`) — selected by
+``method``.
 """
 
 from __future__ import annotations
@@ -47,6 +49,27 @@ def _decode_step(window, dec: DeviceDecTable, spec: DecSpec, method: str):
         value = (window >> shift).astype(jnp.int32)
         rank = dec.offsets[ln] + value - dec.first_code[ln].astype(jnp.int32)
         return dec.symtab[rank], ln
+    elif method == "twolevel":
+        # the reference's gpu_dec_l1_l2 probe (`decoder.cu:529-569`): short
+        # codes resolve in the 2^p L1; a long code's p-bit prefix indexes
+        # ptr_tab for its L2 subtable (width << 16 | offset) and the NEXT
+        # `width` bits select within it
+        p = spec.prefix_bits
+        idx1 = (window >> jnp.uint32(32 - p)).astype(jnp.int32)
+        s1, l1 = dec.l1_sym[idx1], dec.l1_len[idx1]
+        is_long = idx1 >= spec.l1_boundary
+        pidx = jnp.clip(idx1 - spec.l1_boundary, 0, dec.ptr_tab.shape[0] - 1)
+        ptr = dec.ptr_tab[pidx]
+        width = (ptr >> jnp.uint32(16)).astype(jnp.uint32)
+        off = (ptr & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        sub = window << jnp.uint32(p)
+        # width may be 0 (pad/unused prefix): guarded >=32-safe shift
+        v2 = ((sub >> jnp.uint32(1)) >> (jnp.uint32(31) - width)).astype(
+            jnp.int32
+        )
+        idx2 = jnp.clip(off + v2, 0, dec.l2_sym.shape[0] - 1)
+        s2, l2 = dec.l2_sym[idx2], dec.l2_len[idx2]
+        return jnp.where(is_long, s2, s1), jnp.where(is_long, l2, l1)
     raise ValueError(f"unknown decode method: {method}")
 
 
@@ -76,7 +99,7 @@ def decode_block(
       seg_bits: segment size in bits.
       max_count: static bound >= max(counts) (scan trip count).
       out_size: static decoded size in bytes.
-      method: "lut" | "canonical".
+      method: "lut" | "canonical" | "twolevel".
 
     Returns:
       (out_size,) uint8 decoded bytes.

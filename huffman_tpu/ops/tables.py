@@ -13,7 +13,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.canonical import CodeTable, build_flat_lut
+from ..core.canonical import CodeTable, build_flat_lut, build_two_level_table
 
 __all__ = [
     "DeviceEncTable",
@@ -35,12 +35,17 @@ class DeviceEncTable(NamedTuple):
 class DeviceDecTable(NamedTuple):
     """Decoder-side tables (arrays only; static config lives in DecSpec).
 
-    Carries both representations; kernels pick one:
+    Carries three representations; kernels pick one:
     - flat LUT (``lut_sym``/``lut_len``, 2^lut_bits entries) — role of the
       reference's 2^11 LUT (`gpuhd/encoder/src/llhuffman_encoder.cc:240-262`);
     - canonical limit arithmetic (``lim_left``/``offsets``/``first_code``/
       ``symtab``) — code length via <=15 vector compares, symbol via one
-      256-entry gather; this is the VPU-friendly form.
+      256-entry gather; this is the VPU-friendly form;
+    - two-level L1/L2 (``l1_sym``/``l1_len``/``ptr_tab``/``l2_sym``/
+      ``l2_len``) — the reference's `gpu_dec_l1_l2` table pair
+      (`Huffman_coding_Gap_arrays/decoder/src/get_table.cpp:48-139`,
+      consumed `decoder.cu:529-569`): short codes resolve in the 2^p L1,
+      long codes chain through a per-prefix pointer into a compact L2.
     """
 
     lut_sym: jnp.ndarray  # (2^lut_bits,) int32
@@ -49,6 +54,11 @@ class DeviceDecTable(NamedTuple):
     offsets: jnp.ndarray  # (max_len+1,) int32
     first_code: jnp.ndarray  # (max_len+1,) uint32
     symtab: jnp.ndarray  # (256,) int32 (zero-padded past num_symbols)
+    l1_sym: jnp.ndarray  # (2^prefix_bits,) int32
+    l1_len: jnp.ndarray  # (2^prefix_bits,) int32
+    ptr_tab: jnp.ndarray  # (>=1,) uint32: (l2 width << 16) | l2 offset
+    l2_sym: jnp.ndarray  # (>=1,) int32
+    l2_len: jnp.ndarray  # (>=1,) int32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +68,8 @@ class DecSpec:
     lut_bits: int
     max_len: int  # deepest occupied level
     min_len: int  # shallowest occupied level
+    prefix_bits: int = 0  # two-level L1 width (0: table lacks L1/L2 form)
+    l1_boundary: int = 0  # first L1 index owned by long codes
 
 
 def device_enc_table(table: CodeTable) -> DeviceEncTable:
@@ -67,12 +79,22 @@ def device_enc_table(table: CodeTable) -> DeviceEncTable:
     )
 
 
+def _two_level_prefix(table: CodeTable) -> int:
+    # the reference uses a fixed 2^10/2^11 L1 (`get_table.cpp:48`); cap at
+    # the deepest level so an all-short table has no L2 at all
+    return min(10, max(table.max_len_present, 1))
+
+
 def dec_spec(table: CodeTable, lut_bits: int | None = None) -> DecSpec:
     b = int(lut_bits if lut_bits is not None else max(table.max_len_present, 1))
+    p = _two_level_prefix(table)
+    two = build_two_level_table(table, p)
     return DecSpec(
         lut_bits=b,
         max_len=max(table.max_len_present, 1),
         min_len=max(table.min_len, 1),
+        prefix_bits=p,
+        l1_boundary=int(two.boundary_code),
     )
 
 
@@ -81,6 +103,11 @@ def device_dec_table(table: CodeTable, lut_bits: int | None = None) -> DeviceDec
     lut_sym, lut_len = build_flat_lut(table, b)
     symtab = np.zeros(256, np.int32)
     symtab[: table.num_symbols] = table.symtab
+    two = build_two_level_table(table, _two_level_prefix(table))
+
+    def pad1(a, dtype):  # gathers need >= 1 element
+        return jnp.asarray(a.astype(dtype) if a.size else np.zeros(1, dtype))
+
     return DeviceDecTable(
         lut_sym=jnp.asarray(lut_sym.astype(np.int32)),
         lut_len=jnp.asarray(lut_len.astype(np.int32)),
@@ -88,4 +115,9 @@ def device_dec_table(table: CodeTable, lut_bits: int | None = None) -> DeviceDec
         offsets=jnp.asarray(table.offsets, jnp.int32),
         first_code=jnp.asarray(table.first_code, jnp.uint32),
         symtab=jnp.asarray(symtab),
+        l1_sym=jnp.asarray(two.l1_sym.astype(np.int32)),
+        l1_len=jnp.asarray(two.l1_len.astype(np.int32)),
+        ptr_tab=pad1(two.ptr_table, np.uint32),
+        l2_sym=pad1(two.l2_sym, np.int32),
+        l2_len=pad1(two.l2_len, np.int32),
     )

@@ -56,7 +56,7 @@ def test_encode_matches_oracle(gen, seed, seg_bits):
     np.testing.assert_array_equal(np.asarray(counts)[: len(ref_counts)], ref_counts)
 
 
-@pytest.mark.parametrize("method", ["lut", "canonical"])
+@pytest.mark.parametrize("method", ["lut", "canonical", "twolevel"])
 @pytest.mark.parametrize("gen,seed", [("red0.5", 3), ("red0.1", 4), ("binom", 5)])
 def test_decode_roundtrip(method, gen, seed):
     seg_bits = 1024
@@ -87,7 +87,7 @@ def test_decode_roundtrip(method, gen, seed):
     np.testing.assert_array_equal(np.asarray(out), data)
 
 
-@pytest.mark.parametrize("method", ["lut", "canonical"])
+@pytest.mark.parametrize("method", ["lut", "canonical", "twolevel"])
 def test_two_pass_gap_only_decode(method):
     """Reference-parity path: counts recovered on device from gaps alone."""
     seg_bits = 128
