@@ -70,8 +70,12 @@ def main():
                          "cycled to fill the last tile)")
     ap.add_argument("--k", type=int, default=None)
     ap.add_argument("--optimize", choices=["speed", "ratio"], default="speed")
+    ap.add_argument("--no-rotate", action="store_true",
+                    help="disable the lane-decorrelation rotation "
+                         "(the library default is ON)")
     ap.add_argument("--reps", type=int, default=16)
     args = ap.parse_args()
+    rot = not args.no_rotate
 
     import jax
     import jax.numpy as jnp
@@ -126,7 +130,7 @@ def main():
     t0 = time.perf_counter()
     payload_rows, row_starts, p = ils_encode_to_device(
         data_i32, codec.enc, k=k, avg_bits=codec._avg_bits(data),
-        max_len=int(codec.table.max_len_present),
+        max_len=int(codec.table.max_len_present), rot=rot,
     )
     log(f"encode wall (incl. compiles): {time.perf_counter() - t0:.1f}s")
     meta_bytes = 4 * p.n_tiles + 32
@@ -143,7 +147,7 @@ def main():
     def verify(payload_rows, row_starts, params, data_i32):
         out = ils_decode(payload_rows, row_starts, params, boffs, dec, k=p.k,
                          w_cap=p.w_cap, w_band=p.w_band, max_len=maxlen,
-                         min_len=minlen, n_tiles=p.n_tiles)
+                         min_len=minlen, n_tiles=p.n_tiles, rot=p.rot)
         return jnp.all(out == data_i32)
 
     ok = bool(verify(payload_rows, row_starts, params, data_i32))
@@ -161,7 +165,7 @@ def main():
                 pr = pr.at[0, 0, 0].set(pr[0, 0, 0] ^ 1)
                 o = ils_decode(pr, row_starts, params, boffs, dec, k=p.k,
                                w_cap=p.w_cap, w_band=p.w_band, max_len=maxlen,
-                               min_len=minlen, n_tiles=p.n_tiles)
+                               min_len=minlen, n_tiles=p.n_tiles, rot=p.rot)
                 return acc ^ o[0, 0, :8], pr
             acc, _ = jax.lax.fori_loop(
                 0, R, body, (jnp.zeros(8, jnp.int32), payload0))
@@ -169,20 +173,37 @@ def main():
         return f
 
     # mirror the library's encode path: fused certify+pack+compact when the
-    # worst-case stride fits VMEM, the certified two-pass pipeline otherwise
+    # worst-case stride fits VMEM, the STREAMING fused pack when only the
+    # live span does (ratio-mode k), the certified two-pass otherwise
+    import functools
+
     from huffman_tpu.ops.ils import FUSED_STRIDE_BUDGET
-    from huffman_tpu.ops.pallas.ils_kernels import ils_compact, ils_pack_certify
+    from huffman_tpu.ops.pallas.ils_kernels import (
+        ils_compact,
+        ils_pack_certify,
+        ils_pack_certify_stream,
+        ils_stream_span_rows,
+    )
 
     stride_rows = max(2 * (-(-p.k * maxlen // 64)), 4)
-    fused = stride_rows <= FUSED_STRIDE_BUDGET
-    if fused:
+    if stride_rows <= FUSED_STRIDE_BUDGET:
+        pack_fn, path = ils_pack_certify, "fused 1-pass"
+    else:
+        span = ils_stream_span_rows(p.k, stride_rows)
+        if span is not None and span <= FUSED_STRIDE_BUDGET:
+            pack_fn, path = ils_pack_certify_stream, "streaming 1-pass"
+        else:
+            pack_fn, path = None, "two-pass"
+    pack_fn = pack_fn and functools.partial(
+        pack_fn, k=p.k, stride_rows=stride_rows, rot=rot
+    )
+    if pack_fn is not None:
         # mirror the library's violation fallback: skewed data may force
         # the two-pass path even when the stride fits
-        viol0 = ils_pack_certify(
-            data_i32, params, enc, k=p.k, stride_rows=stride_rows)[4]
-        fused = not int(jnp.max(viol0))
-    log(f"encode path: {'fused 1-pass' if fused else 'two-pass'} "
-        f"(stride_rows={stride_rows})")
+        viol0 = pack_fn(data_i32, params, enc)[4]
+        if int(jnp.max(viol0)):
+            pack_fn, path = None, "two-pass"
+    log(f"encode path: {path} (stride_rows={stride_rows})")
 
     def mk_encode(R):
         @jax.jit
@@ -190,18 +211,17 @@ def main():
             def body(i, carry):
                 acc, d = carry
                 d = d.at[0, 0, 0].set(d[0, 0, 0] ^ 1)
-                if fused:
-                    pay_s, bits, dn, dx, viol = ils_pack_certify(
-                        d, params, enc, k=p.k, stride_rows=stride_rows)
+                if pack_fn is not None:
+                    pay_s, bits, dn, dx, viol = pack_fn(d, params, enc)
                     payload = ils_compact(
                         pay_s, row_starts, stride_rows=stride_rows,
                         w_cap=p.w_cap, total_rows=p.total_rows)
                     acc = acc ^ payload[0, 0, :8] ^ bits[0, 0, :8] ^ viol[0, 0, :8]
                 else:
-                    bits = ils_lengths_pass(d, params, enc, k=p.k)[0]
+                    bits = ils_lengths_pass(d, params, enc, k=p.k, rot=rot)[0]
                     payload = ils_pack(d, params, boffs, row_starts, enc,
                                        k=p.k, w_cap=p.w_cap, w_band=p.w_band,
-                                       total_rows=p.total_rows)
+                                       total_rows=p.total_rows, rot=rot)
                     acc = acc ^ payload[0, 0, :8] ^ bits[0, 0, :8]
                 return acc, d
             acc, _ = jax.lax.fori_loop(
@@ -238,6 +258,8 @@ def main():
             "input": args.input,
             "k": p.k,
             "w_band": p.w_band,
+            "rotate": p.rot,
+            "encode_path": path,
             "verified": ok,
             "codec": "ils",
             "baseline": "sequential.cpp decode measured on this host (BASELINE.md)",

@@ -34,7 +34,12 @@ from ..ops.pallas.selfsync_kernels import SYNC_STATES, sync_transitions
 from ..ops.pallas.decode_kernel import decode_ranks_pallas
 from ..ops.tables import DecSpec, device_dec_table
 
-__all__ = ["selfsync_decode_words", "selfsync_decode_bytes", "is_canonical"]
+__all__ = [
+    "selfsync_decode_words",
+    "selfsync_decode_device",
+    "selfsync_decode_bytes",
+    "is_canonical",
+]
 
 _SEG_BITS = 1024
 
@@ -74,6 +79,23 @@ def selfsync_decode_words(
     interpret: bool | None = None,
 ) -> np.ndarray:
     """Decode a raw MSB-first u32 stream given only its canonical table."""
+    return np.asarray(
+        selfsync_decode_device(words, total_bits, table, interpret=interpret)
+    )
+
+
+def selfsync_decode_device(
+    words: np.ndarray,
+    total_bits: int,
+    table: CodeTable,
+    *,
+    interpret: bool | None = None,
+):
+    """`selfsync_decode_words` keeping the decoded bytes ON DEVICE.
+
+    The benchmark path: only scalar metadata syncs to the host, so the
+    slow D2H link never sees the payload (the degenerate sub-2-bit
+    fallback below still returns a host array)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if total_bits == 0:
@@ -123,11 +145,10 @@ def selfsync_decode_words(
 
     if max_count <= MAX_ROW_BYTES:
         # device ragged-concat placement (ops/pallas/compact_kernel.py):
-        # only the final decoded bytes cross to the host
-        dev = compact_ranks_device(
+        # the decoded bytes stay on device until the caller pulls them
+        return compact_ranks_device(
             ranks, counts_h, table.symtab, total_syms, interpret=interpret
         )
-        return np.asarray(dev)
 
     # degenerate sub-2-bit codes: host mask compaction over padded ranks
     ranks_h = np.asarray(ranks)[:, :n_subseq]  # (out_rows, n)

@@ -1,0 +1,329 @@
+"""Secondary-path TPU benchmarks: gap-array (HTC1) Pallas decode, self-sync
+decode, reference-format (Yamamoto) device decode, and the decode_block
+method A/B (lut / canonical / twolevel).
+
+The reference's central benchmark artifact is the gap-array decoder timing
+harness (`Huffman_coding_Gap_arrays/decoder/src/decoder.cu:732-815`, 200
+reps); these are the corresponding numbers for this framework's secondary
+paths (the ILS flagship is bench.py).
+
+Timing discipline (see bench.py's docstring for the tunnel pathology):
+- decode_block A/B chains R in-jit invocations and differences two R values
+  (pure device function, same as the headline bench);
+- the staged pipelines (gap-pallas, selfsync, yamamoto) contain small host
+  syncs, so they cannot chain inside one jit.  They are timed by SIZE
+  differencing instead: the same call at S and 2S bytes, interleaved
+  round-robin, GB/s = S / (T(2S) - T(S)) — the per-call dispatch-floor
+  overhead (identical at both sizes) cancels.  Nothing payload-sized
+  crosses the host link in any timed region.
+
+Prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _fit(data, max_len=16):
+    from huffman_tpu.core import (
+        canonical_code_table,
+        npref,
+        package_merge_lengths,
+    )
+
+    return canonical_code_table(
+        package_merge_lengths(npref.histogram(data), max_len), max_len
+    )
+
+
+def measure_sized(run, sizes, trials=5):
+    """Seconds per (sizes[1]-sizes[0]) bytes: interleave run(size) trials and
+    difference the minima (run must block until the device is done)."""
+    for s in sizes:
+        run(s)  # compile + warm both shapes
+    t = {s: [] for s in sizes}
+    for _ in range(trials):
+        for s in sizes:
+            t0 = time.perf_counter()
+            run(s)
+            t[s].append(time.perf_counter() - t0)
+    return max(min(t[sizes[1]]) - min(t[sizes[0]]), 1e-9)
+
+
+def bench_gap_pallas(args, interpret):
+    """HTC1 decode: Pallas ranks kernel + device ragged-concat placement."""
+    import jax
+    import jax.numpy as jnp
+
+    from huffman_tpu.constants import SEG_BITS
+    from huffman_tpu.models import GapArrayCodec
+    from huffman_tpu.ops.pallas.decode_kernel import decode_block_pallas
+    from huffman_tpu.utils import generate_redundant
+
+    s1 = args.size // 2
+    data = generate_redundant(2 * s1, args.redundancy, seed=0)
+    codec = GapArrayCodec.fit(data, block_bytes=s1, method="pallas")
+    comp = codec.encode(data)  # 2 blocks of s1 bytes
+
+    prep = {}
+    for nb, size in ((1, s1), (2, 2 * s1)):
+        max_s = max(comp.block_gaps[i].size for i in range(nb))
+        max_c = max(int(comp.block_counts[i].max()) for i in range(nb))
+        blocks = []
+        for i in range(nb):
+            w = np.concatenate([comp.block_words[i], np.zeros(1, np.uint32)])
+            g = np.zeros(max_s, np.int32)
+            c = np.zeros(max_s, np.int32)
+            g[: comp.block_gaps[i].size] = comp.block_gaps[i]
+            c[: comp.block_counts[i].size] = comp.block_counts[i]
+            blocks.append((jnp.asarray(w), g, c))
+        prep[size] = (blocks, max_s, -(-max_c // 8) * 8)
+
+    def run(size):
+        blocks, n_segs, max_count = prep[size]
+        for w, g, c in blocks:
+            out = decode_block_pallas(
+                w, g, c, codec.dec, symtab=codec.table.symtab,
+                spec=codec.spec, seg_bits=codec.seg_bits, n_segs=n_segs,
+                max_count=max_count, out_size=s1, interpret=interpret,
+            )
+        jax.block_until_ready(out)
+        return out
+
+    out1 = np.asarray(run(s1))
+    ok = bool(np.array_equal(out1, data[:s1]))
+    log(f"gap-pallas verify: {'PASS' if ok else 'FAIL'}")
+    dt = measure_sized(run, (s1, 2 * s1), trials=args.trials)
+    gbps = s1 / dt / 1e9
+    log(f"gap-pallas decode: {gbps:.3f} GB/s ({dt * 1e3:.1f} ms / {s1} B)")
+    return {"metric": "htc1_pallas_decode_gbps", "value": round(gbps, 4),
+            "unit": "GB/s", "verified": ok, "seg_bits": SEG_BITS,
+            "block_bytes": s1}
+
+
+def bench_selfsync(args, interpret):
+    """Metadata-free decode of a raw bitstream (transitions + exact-exit
+    scan + ranks kernel + device placement)."""
+    import jax
+
+    from huffman_tpu.core import npref
+    from huffman_tpu.models.selfsync import selfsync_decode_device
+    from huffman_tpu.utils import generate_redundant
+
+    s1 = args.size // 2
+    data = generate_redundant(2 * s1, args.redundancy, seed=1)
+    table = _fit(data)
+    streams = {}
+    for size in (s1, 2 * s1):
+        words, total_bits = npref.encode_bits(data[:size], table)
+        streams[size] = (words, total_bits)
+
+    def run(size):
+        words, total_bits = streams[size]
+        out = selfsync_decode_device(
+            words, total_bits, table, interpret=interpret
+        )
+        jax.block_until_ready(out)
+        return out
+
+    out1 = np.asarray(run(s1))
+    ok = bool(np.array_equal(out1, data[:s1]))
+    log(f"selfsync verify: {'PASS' if ok else 'FAIL'}")
+    dt = measure_sized(run, (s1, 2 * s1), trials=args.trials)
+    gbps = s1 / dt / 1e9
+    log(f"selfsync decode: {gbps:.3f} GB/s ({dt * 1e3:.1f} ms / {s1} B)")
+    return {"metric": "selfsync_decode_gbps", "value": round(gbps, 4),
+            "unit": "GB/s", "verified": ok}
+
+
+def bench_yamamoto(args, interpret):
+    """Reference-format two-pass device decode (count_segments +
+    decode_block), timed without the host-side container parse."""
+    import jax
+    import jax.numpy as jnp
+
+    from huffman_tpu.io.yamamoto import _SEGMENT_BITS, read_yamamoto, write_yamamoto
+    from huffman_tpu.ops import dec_spec, device_dec_table
+    from huffman_tpu.ops.decode import count_segments, decode_block
+    from huffman_tpu.utils import generate_redundant
+
+    s1 = min(args.size // 2, args.yamamoto_cap)
+    data = generate_redundant(2 * s1, args.redundancy, seed=2)
+    table = _fit(data)
+    dec = device_dec_table(table)
+    spec = dec_spec(table)
+    prep = {}
+    for size in (s1, 2 * s1):
+        blob = write_yamamoto(data[:size], table)
+        _, words, gaps, original_size = read_yamamoto(blob)
+        prep[size] = (
+            jnp.asarray(np.concatenate([words, np.zeros(2, np.uint32)])),
+            jnp.asarray(gaps.astype(np.int32)),
+            words.size * 32,
+            original_size,
+        )
+
+    max_count = _SEGMENT_BITS // max(spec.min_len, 1) + 1
+
+    def run(size):
+        words_j, gaps_j, total_bits, original_size = prep[size]
+        counts = count_segments(
+            words_j, gaps_j, jnp.int32(total_bits), dec, spec=spec,
+            seg_bits=_SEGMENT_BITS, max_count=max_count, method="lut",
+        )
+        counts = np.asarray(counts).copy()
+        counts[-1] -= int(counts.sum()) - original_size
+        out = decode_block(
+            words_j, gaps_j, jnp.asarray(counts), dec, spec=spec,
+            seg_bits=_SEGMENT_BITS,
+            max_count=int(counts.max()), out_size=original_size,
+            method="lut",
+        )
+        jax.block_until_ready(out)
+        return out
+
+    out1 = np.asarray(run(s1))
+    ok = bool(np.array_equal(out1, data[:s1]))
+    log(f"yamamoto verify: {'PASS' if ok else 'FAIL'}")
+    dt = measure_sized(run, (s1, 2 * s1), trials=args.trials)
+    gbps = s1 / dt / 1e9
+    log(f"yamamoto device decode: {gbps:.3f} GB/s ({dt * 1e3:.1f} ms / {s1} B)")
+    return {"metric": "yamamoto_decode_gbps", "value": round(gbps, 4),
+            "unit": "GB/s", "verified": ok, "note":
+            "XLA two-pass path; gather-bound by design (interop format)"}
+
+
+def bench_block_methods(args, interpret):
+    """decode_block A/B: lut vs canonical vs twolevel (VERDICT item 7's
+    measured decision), chained in-jit like the headline bench."""
+    import jax
+    import jax.numpy as jnp
+
+    from huffman_tpu.constants import SEG_BITS
+    from huffman_tpu.models import GapArrayCodec
+    from huffman_tpu.ops.decode import decode_block
+    from huffman_tpu.utils import generate_redundant
+
+    size = min(args.size // 8, args.yamamoto_cap)
+    data = generate_redundant(size, args.redundancy, seed=3)
+    codec = GapArrayCodec.fit(data, block_bytes=size)
+    comp = codec.encode(data)
+    words = jnp.asarray(
+        np.concatenate([comp.block_words[0], np.zeros(1, np.uint32)])
+    )
+    gaps = jnp.asarray(comp.block_gaps[0].astype(np.int32))
+    counts = jnp.asarray(comp.block_counts[0])
+    max_count = -(-int(comp.block_counts[0].max()) // 8) * 8
+
+    results = {}
+    reps = args.reps
+    makers = {}
+    for method in ("lut", "canonical", "twolevel"):
+        def mk(R, method=method):
+            @jax.jit
+            def f(words, gaps, counts):
+                def body(i, carry):
+                    acc, w = carry
+                    # loop-carried bit flip defeats invariant hoisting (the
+                    # decoded bytes feed only the checksum, so corruption is
+                    # fine; correctness was verified before timing)
+                    w = w.at[0].set(w[0] ^ jnp.uint32(1))
+                    o = decode_block(
+                        w, gaps, counts, codec.dec, spec=codec.spec,
+                        seg_bits=codec.seg_bits, max_count=max_count,
+                        out_size=size, method=method,
+                    )
+                    return acc ^ o[:8].astype(jnp.int32), w
+                acc, _ = jax.lax.fori_loop(
+                    0, R, body, (jnp.zeros(8, jnp.int32), words))
+                return acc
+            return f
+        makers[method] = mk
+        out = decode_block(
+            words, gaps, counts, codec.dec, spec=codec.spec,
+            seg_bits=codec.seg_bits, max_count=max_count, out_size=size,
+            method=method,
+        )
+        ok = bool(np.array_equal(np.asarray(out), data))
+        log(f"decode_block[{method}] verify: {'PASS' if ok else 'FAIL'}")
+        results[method] = {"verified": ok}
+
+    # interleave all three methods across trials (same drift regime)
+    import itertools
+
+    fns = {}
+    for method, mk in makers.items():
+        fns[method] = (mk(max(reps // 4, 1)), mk(reps))
+        for f in fns[method]:
+            np.asarray(f(words, gaps, counts))
+    times = {m: ([], []) for m in makers}
+    for _ in range(args.trials):
+        for m, (f1, f2) in fns.items():
+            t0 = time.perf_counter()
+            np.asarray(f1(words, gaps, counts))
+            times[m][0].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(f2(words, gaps, counts))
+            times[m][1].append(time.perf_counter() - t0)
+    for m in makers:
+        t1, t2 = times[m]
+        dt = max((min(t2) - min(t1)) / (reps - max(reps // 4, 1)), 1e-9)
+        gbps = size / dt / 1e9
+        results[m]["gbps"] = round(gbps, 4)
+        log(f"decode_block[{m}]: {gbps:.3f} GB/s")
+    del itertools
+    return {"metric": "decode_block_method_ab", "value":
+            results["canonical"]["gbps"], "unit": "GB/s",
+            "methods": results, "block_bytes": size, "seg_bits": SEG_BITS}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1 << 27,
+                    help="bytes for the LARGER of the two differenced sizes")
+    ap.add_argument("--redundancy", type=float, default=0.5)
+    ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--yamamoto-cap", type=int, default=1 << 23,
+                    help="cap for the XLA scan paths (gather-bound)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="tiny interpret-mode structural check")
+    ap.add_argument("--configs", default="gap_pallas,selfsync,yamamoto,methods")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        args.size = min(args.size, 1 << 18)
+        args.yamamoto_cap = min(args.yamamoto_cap, 1 << 16)
+        args.trials = 1
+        args.reps = 2
+    interpret = jax.default_backend() != "tpu"
+    log(f"devices: {jax.devices()} interpret={interpret}")
+
+    runners = {
+        "gap_pallas": bench_gap_pallas,
+        "selfsync": bench_selfsync,
+        "yamamoto": bench_yamamoto,
+        "methods": bench_block_methods,
+    }
+    for name in args.configs.split(","):
+        res = runners[name](args, interpret)
+        print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()
