@@ -37,27 +37,39 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_chained(make_fn, r1, r2, *args, trials=6):
-    """Amortized seconds per op: run make_fn(R)(*args) for two Rs and
-    difference the minima over interleaved trials.  Interleaving matters:
-    dispatch latency through the tunnel drifts over process lifetime (up to
-    ~1.4x observed), so timing the two R values back-to-back in separate
-    phases biases the difference; alternating R1/R2 samples the same drift
-    regime for both.  Large buffers must be passed via *args, not closures —
+def measure_chained_multi(make_fns, r1, r2, *args, trials=6):
+    """Amortized seconds per op for each variant: run make_fn(R)(*args) for
+    two Rs and difference the minima over interleaved trials.  Interleaving
+    matters: dispatch latency through the tunnel drifts over process
+    lifetime (up to ~1.4x observed), so timing in separate phases biases
+    the difference; cycling every (variant, R) pair per trial samples the
+    same drift regime for all of them — the only valid A/B discipline on
+    this link.  Large buffers must be passed via *args, not closures —
     closed-over arrays embed as HLO constants and blow the remote-compile
     request limit at GB scale."""
-    f1, f2 = make_fn(r1), make_fn(r2)
-    np.asarray(f1(*args))  # compile + hard sync
-    np.asarray(f2(*args))
-    t1, t2 = [], []
+    fns = {}
+    for name, mk in make_fns.items():
+        fns[name] = (mk(r1), mk(r2))
+        for f in fns[name]:
+            np.asarray(f(*args))  # compile + hard sync
+    times = {name: ([], []) for name in fns}
     for _ in range(trials):
-        t0 = time.perf_counter()
-        np.asarray(f1(*args))
-        t1.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(f2(*args))
-        t2.append(time.perf_counter() - t0)
-    return max((min(t2) - min(t1)) / (r2 - r1), 1e-9)
+        for name, (f1, f2) in fns.items():
+            t0 = time.perf_counter()
+            np.asarray(f1(*args))
+            times[name][0].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(f2(*args))
+            times[name][1].append(time.perf_counter() - t0)
+    return {
+        name: max((min(t2) - min(t1)) / (r2 - r1), 1e-9)
+        for name, (t1, t2) in times.items()
+    }
+
+
+def measure_chained(make_fn, r1, r2, *args, trials=6):
+    return measure_chained_multi({"_": make_fn}, r1, r2, *args,
+                                 trials=trials)["_"]
 
 
 def main():
@@ -69,6 +81,8 @@ def main():
                          "(tiled to a multiple of k*1024 bytes; the tail is "
                          "cycled to fill the last tile)")
     ap.add_argument("--k", type=int, default=None)
+    ap.add_argument("--max-len", type=int, default=16,
+                    help="codeword length limit (8 enables the probe A/B)")
     ap.add_argument("--optimize", choices=["speed", "ratio"], default="speed")
     ap.add_argument("--no-rotate", action="store_true",
                     help="disable the lane-decorrelation rotation "
@@ -98,7 +112,8 @@ def main():
         fit_sample = raw[: 1 << 20]
     else:
         fit_sample = generate_redundant(1 << 20, args.redundancy, seed=0)
-    codec0 = IlsCodec.fit(fit_sample, k=args.k, optimize=args.optimize)
+    codec0 = IlsCodec.fit(fit_sample, k=args.k, optimize=args.optimize,
+                          max_len=args.max_len)
     k = codec0.k
     tile_bytes = k * ILS_LANES
     if args.input:
@@ -120,7 +135,7 @@ def main():
         data = generate_redundant(size, args.redundancy, seed=0)
 
     t0 = time.perf_counter()
-    codec = IlsCodec.fit(data, k=k)
+    codec = IlsCodec.fit(data, k=k, max_len=args.max_len)
     log(f"host table construction: {time.perf_counter() - t0:.3f}s")
 
     # All-device pipeline: the host link to this TPU is extremely slow for
@@ -157,7 +172,7 @@ def main():
                           "unit": "GB/s", "vs_baseline": 0.0}))
         sys.exit(1)
 
-    def mk_decode(R):
+    def mk_decode(R, probe=False):
         @jax.jit
         def f(payload0):
             def body(i, carry):
@@ -165,7 +180,8 @@ def main():
                 pr = pr.at[0, 0, 0].set(pr[0, 0, 0] ^ 1)
                 o = ils_decode(pr, row_starts, params, boffs, dec, k=p.k,
                                w_cap=p.w_cap, w_band=p.w_band, max_len=maxlen,
-                               min_len=minlen, n_tiles=p.n_tiles, rot=p.rot)
+                               min_len=minlen, n_tiles=p.n_tiles, rot=p.rot,
+                               probe=probe)
                 return acc ^ o[0, 0, :8], pr
             acc, _ = jax.lax.fori_loop(
                 0, R, body, (jnp.zeros(8, jnp.int32), payload0))
@@ -233,9 +249,23 @@ def main():
     # scale chained reps so tiny inputs still span many timer ticks (the
     # 64 MB reference point keeps reps=args.reps)
     reps = min(args.reps * max((1 << 26) // main_bytes, 1), 512)
-    t_dec = measure_chained(mk_decode, max(reps // 4, 1), reps, payload_rows)
+    dec_makers = {"canonical": mk_decode}
+    if maxlen <= 8:
+        # A/B the 256-entry LUT-probe symbol step (applicable table)
+        import functools as _ft
+
+        dec_makers["probe"] = _ft.partial(mk_decode, probe=True)
+    t_decs = measure_chained_multi(
+        dec_makers, max(reps // 4, 1), reps, payload_rows
+    )
+    t_dec = min(t_decs.values())
     dec_gbps = main_bytes / t_dec / 1e9
-    log(f"decode: {dec_gbps:.3f} GB/s ({t_dec * 1e3:.2f} ms / {main_bytes} B)")
+    probe_gbps = None
+    for name, t in sorted(t_decs.items()):
+        log(f"decode[{name}]: {main_bytes / t / 1e9:.3f} GB/s "
+            f"({t * 1e3:.2f} ms / {main_bytes} B)")
+        if name == "probe":
+            probe_gbps = round(main_bytes / t / 1e9, 4)
     # free the compact payload before the encode chain: at 4 GB inputs the
     # fused path's strided intermediate plus the held payload exceeds HBM
     payload_rows = None
@@ -260,6 +290,7 @@ def main():
             "w_band": p.w_band,
             "rotate": p.rot,
             "encode_path": path,
+            "probe_decode_gbps": probe_gbps,
             "verified": ok,
             "codec": "ils",
             "baseline": "sequential.cpp decode measured on this host (BASELINE.md)",

@@ -317,10 +317,17 @@ def ils_decode_device(
     table: CodeTable,
     dec: IlsDecTabs,
     *,
+    probe: bool | None = None,
     interpret: bool = False,
 ) -> np.ndarray:
-    """Decode one section back to flat bytes (n_tiles * k * 1024 of them)."""
+    """Decode one section back to flat bytes (n_tiles * k * 1024 of them).
+
+    ``probe`` selects the 256-entry LUT-probe symbol step (None: auto when
+    the table's longest code fits 8 bits — there one lane lookup replaces
+    the canonical compare chain)."""
     p = section.params
+    if probe is None:
+        probe = 0 < table.max_len_present <= 8
     if not (1 <= p.w_band <= p.w_cap // 2):
         # our encoder guarantees this (finish() widens w_cap); a foreign or
         # corrupted container must not drive the kernel out of its scratch
@@ -346,6 +353,7 @@ def ils_decode_device(
         min_len=max(table.min_len, 1),
         n_tiles=p.n_tiles,
         rot=p.rot,
+        probe=probe,
         interpret=interpret,
     )
     return np.asarray(out).view(np.uint32).reshape(-1).view("<u4").view(np.uint8)

@@ -132,12 +132,20 @@ class IlsEncTabs(NamedTuple):
 
 
 class IlsDecTabs(NamedTuple):
-    """Decoder tables: SMEM canonical limits + lane-dim bias/symbol tables."""
+    """Decoder tables: SMEM canonical limits + lane-dim bias/symbol tables.
+
+    ``probe_lo``/``probe_hi`` hold the 8-bit flat LUT ((len << 8) | sym per
+    top-8-bit window) for tables whose longest code fits 8 bits: there ONE
+    lane lookup replaces the whole canonical compare chain (`ils_decode`'s
+    ``probe`` path — the TPU form of the reference's per-thread LUT probe,
+    `gpuhd/src/cuhd_gpu_decoder.cu:93-117`).  All-zero when max_len > 8."""
 
     lim: jnp.ndarray  # (1, 32) uint32 left-justified limits
     bias: jnp.ndarray  # (8, 128) int32 offsets[l] - first_code[l]
     sym_lo: jnp.ndarray  # (8, 128) int32 canonical ranks 0..127 -> symbol
     sym_hi: jnp.ndarray  # (8, 128) int32 canonical ranks 128..255 -> symbol
+    probe_lo: jnp.ndarray  # (8, 128) int32 8-bit LUT, windows 0..127
+    probe_hi: jnp.ndarray  # (8, 128) int32 8-bit LUT, windows 128..255
 
 
 def ils_enc_tabs(table: CodeTable) -> IlsEncTabs:
@@ -148,6 +156,8 @@ def ils_enc_tabs(table: CodeTable) -> IlsEncTabs:
 
 
 def ils_dec_tabs(table: CodeTable) -> IlsDecTabs:
+    from ...core.canonical import build_flat_lut
+
     lim = np.zeros((1, 32), np.uint32)
     lim[0, : table.lim_left.shape[0]] = table.lim_left
     bias = (
@@ -160,11 +170,19 @@ def ils_dec_tabs(table: CodeTable) -> IlsDecTabs:
     symtab[: table.num_symbols] = table.symtab
     sym_lo = np.tile(symtab[:128][None], (SUBLANES, 1))
     sym_hi = np.tile(symtab[128:][None], (SUBLANES, 1))
+    probe = np.zeros(256, np.int32)
+    if 0 < table.max_len_present <= 8:
+        lut_sym, lut_len = build_flat_lut(table, 8)
+        probe = (lut_len.astype(np.int32) << 8) | lut_sym.astype(np.int32)
+    probe_lo = np.tile(probe[:128][None], (SUBLANES, 1))
+    probe_hi = np.tile(probe[128:][None], (SUBLANES, 1))
     return IlsDecTabs(
         jnp.asarray(lim),
         jnp.asarray(bias_tab),
         jnp.asarray(sym_lo),
         jnp.asarray(sym_hi),
+        jnp.asarray(probe_lo),
+        jnp.asarray(probe_hi),
     )
 
 
@@ -1171,6 +1189,8 @@ def _decode_kernel(
     bias_ref,
     symlo_ref,
     symhi_ref,
+    plo_ref,
+    phi_ref,
     payload_ref,
     out_ref,
     scratch,
@@ -1188,6 +1208,7 @@ def _decode_kernel(
     lazy,
     n_win,
     rot,
+    probe,
     interpret,
 ):
     """Schedule-v2 decode: 128-bit register, one pair refill per body.
@@ -1226,6 +1247,16 @@ def _decode_kernel(
             carry[s, 5] = jnp.full(shape, 2, jnp.int32)    # pptr (pairs)
 
     def _sym_ln(win):
+        if probe:
+            # max_len <= 8: ONE 256-entry lane probe on the top byte
+            # replaces the compare chain, the bias gather and the rank
+            # lookup (the reference's per-thread LUT probe,
+            # `cuhd_gpu_decoder.cu:93-117`, in lane-table form).  LUT
+            # expansion makes the entry independent of the tail bits.
+            idx = (win >> u32(24)).astype(jnp.int32)
+            e = _lane_lookup(plo_ref[:], phi_ref[:], idx)
+            ln = e >> 8
+            return e & 255, ln, ln.astype(u32)
         # levels below min_len are empty (their limits are 0, the compare is
         # always true), so the flag set starts at min_len; the compares are
         # mutually independent and tree-reduced to keep the dependency chain
@@ -1435,7 +1466,7 @@ def _decode_kernel(
     jax.jit,
     static_argnames=(
         "k", "w_cap", "w_band", "max_len", "min_len", "n_tiles", "rot",
-        "interpret", "nt", "unroll", "lazy"
+        "probe", "interpret", "nt", "unroll", "lazy"
     ),
 )
 def ils_decode(
@@ -1452,6 +1483,7 @@ def ils_decode(
     n_tiles,
     min_len=1,
     rot=False,
+    probe=False,
     interpret=False,
     nt=None,
     unroll=None,
@@ -1486,16 +1518,21 @@ def ils_decode(
             [boffs, jnp.repeat(boffs[-1:], pad, axis=0)], axis=0
         )
     boffs = boffs.reshape((n_tiles + pad) * n_win)
+    if probe and max_len > 8:
+        raise ValueError("probe decode requires max codeword length <= 8")
     kern = functools.partial(
         _decode_kernel, k=k, w_cap=w_cap, w_band=w_band, max_len=max_len,
         min_len=max(min(min_len, max_len), 1), nt=nt, iters=iters,
-        unroll=unroll, lazy=lazy, n_win=n_win, rot=rot, interpret=interpret,
+        unroll=unroll, lazy=lazy, n_win=n_win, rot=rot, probe=probe,
+        interpret=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups, n_chunks),
         in_specs=[
             pl.BlockSpec((1, 32), lambda t, c, s, p, b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, c, s, p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda t, c, s, p, b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBLANES, LANES), lambda t, c, s, p, b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBLANES, LANES), lambda t, c, s, p, b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBLANES, LANES), lambda t, c, s, p, b: (0, 0), memory_space=pltpu.VMEM),
@@ -1520,7 +1557,7 @@ def ils_decode(
         ),
         interpret=interpret,
     )(row_starts, params, boffs, dec.lim, dec.bias, dec.sym_lo, dec.sym_hi,
-      payload_rows)
+      dec.probe_lo, dec.probe_hi, payload_rows)
     out = out.reshape(n_groups * nt * (k // 4), SUBLANES, LANES)
     # the slice fuses into the consumer under jit; no copy materializes
     return out[: n_tiles * (k // 4)] if pad else out

@@ -140,7 +140,8 @@ def test_selfsync_compose_scan_exact_beyond_float32():
     import jax.numpy as jnp
 
     rng = np.random.default_rng(16)
-    n = 40_000
+    # ~1.1e8 total symbols: the subsequence count of a >=128 MB stream
+    n = 110_000
     exits = rng.integers(0, 16, size=(n, 16)).astype(np.int32)
     counts = rng.integers(900, 1100, size=(n, 16)).astype(np.int32)
 
@@ -155,7 +156,7 @@ def test_selfsync_compose_scan_exact_beyond_float32():
     sel = np.take_along_axis(counts, entry[:, None], axis=1)[:, 0]
     total = int(sel.sum(dtype=np.int64))
     assert total == total_ref
-    assert total > (1 << 24)  # the regime the old scan corrupted
+    assert total > 10**8  # VERDICT item 1 scale: >= 1e8 symbols (128 MB+)
 
 
 def test_selfsync_single_symbol_stream():
