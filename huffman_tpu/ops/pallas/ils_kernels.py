@@ -155,9 +155,24 @@ def ils_enc_tabs(table: CodeTable) -> IlsEncTabs:
     return IlsEncTabs(jnp.asarray(lo), jnp.asarray(hi))
 
 
-def ils_dec_tabs(table: CodeTable) -> IlsDecTabs:
-    from ...core.canonical import build_flat_lut
+def _probe_lut(table: CodeTable) -> np.ndarray:
+    """256-entry partial flat LUT: (len << 8) | sym for every top-8-bit
+    window whose first codeword fits 8 bits; 0 where the prefix belongs to
+    a longer code (prefix-freedom makes the two sets disjoint)."""
+    probe = np.zeros(256, np.int32)
+    syms = table.symtab
+    if syms.size == 0:
+        return probe
+    ls = table.lengths[syms].astype(np.int64)
+    cs = table.codes[syms].astype(np.int64)
+    short = (ls > 0) & (ls <= 8)
+    for s, l, c in zip(syms[short], ls[short], cs[short]):
+        start = int(c) << (8 - int(l))
+        probe[start : start + (1 << (8 - int(l)))] = (int(l) << 8) | int(s)
+    return probe
 
+
+def ils_dec_tabs(table: CodeTable) -> IlsDecTabs:
     lim = np.zeros((1, 32), np.uint32)
     lim[0, : table.lim_left.shape[0]] = table.lim_left
     bias = (
@@ -170,10 +185,7 @@ def ils_dec_tabs(table: CodeTable) -> IlsDecTabs:
     symtab[: table.num_symbols] = table.symtab
     sym_lo = np.tile(symtab[:128][None], (SUBLANES, 1))
     sym_hi = np.tile(symtab[128:][None], (SUBLANES, 1))
-    probe = np.zeros(256, np.int32)
-    if 0 < table.max_len_present <= 8:
-        lut_sym, lut_len = build_flat_lut(table, 8)
-        probe = (lut_len.astype(np.int32) << 8) | lut_sym.astype(np.int32)
+    probe = _probe_lut(table)
     probe_lo = np.tile(probe[:128][None], (SUBLANES, 1))
     probe_hi = np.tile(probe[128:][None], (SUBLANES, 1))
     return IlsDecTabs(
@@ -1246,35 +1258,55 @@ def _decode_kernel(
             carry[s, 4] = jnp.full(shape, 128, jnp.int32)  # valid
             carry[s, 5] = jnp.full(shape, 2, jnp.int32)    # pptr (pairs)
 
-    def _sym_ln(win):
-        if probe:
-            # max_len <= 8: ONE 256-entry lane probe on the top byte
-            # replaces the compare chain, the bias gather and the rank
-            # lookup (the reference's per-thread LUT probe,
-            # `cuhd_gpu_decoder.cu:93-117`, in lane-table form).  LUT
-            # expansion makes the entry independent of the tail bits.
-            idx = (win >> u32(24)).astype(jnp.int32)
-            e = _lane_lookup(plo_ref[:], phi_ref[:], idx)
-            ln = e >> 8
-            return e & 255, ln, ln.astype(u32)
-        # levels below min_len are empty (their limits are 0, the compare is
-        # always true), so the flag set starts at min_len; the compares are
-        # mutually independent and tree-reduced to keep the dependency chain
-        # logarithmic.
+    def _chain_len(win, lo):
+        # levels below the first occupied one are empty (their limits are
+        # 0, the compare is always true), so the flag set starts at ``lo``;
+        # the compares are mutually independent and tree-reduced to keep
+        # the dependency chain logarithmic.
         flags = [
             (win >= lim_ref[0, l]).astype(jnp.int32)
-            for l in range(min_len, max_len)
+            for l in range(lo, max_len)
         ]
         while len(flags) > 1:
             nxt = [a + b for a, b in zip(flags[::2], flags[1::2])]
             if len(flags) % 2:
                 nxt.append(flags[-1])
             flags = nxt
-        ln = min_len + flags[0] if flags else jnp.full(shape, min_len, jnp.int32)
+        return lo + flags[0] if flags else jnp.full(shape, lo, jnp.int32)
+
+    def _chain_sym(win, ln):
         lns = ln.astype(u32)
         value = (win >> (u32(32) - lns)).astype(jnp.int32)
         rank = jnp.take_along_axis(bias_ref[:], ln, axis=1) + value
-        sym = _lane_lookup(symlo_ref[:], symhi_ref[:], rank & 255)
+        return _lane_lookup(symlo_ref[:], symhi_ref[:], rank & 255), lns
+
+    def _sym_ln(win):
+        if probe and max_len <= 8:
+            # ONE 256-entry lane probe on the top byte replaces the compare
+            # chain, the bias gather and the rank lookup (the reference's
+            # per-thread LUT probe, `cuhd_gpu_decoder.cu:93-117`, in
+            # lane-table form).  LUT expansion makes the entry independent
+            # of the tail bits.
+            idx = (win >> u32(24)).astype(jnp.int32)
+            e = _lane_lookup(plo_ref[:], phi_ref[:], idx)
+            ln = e >> 8
+            return e & 255, ln, ln.astype(u32)
+        if probe:
+            # hybrid: the probe resolves codes <= 8 bits outright (entry 0
+            # marks a long-code prefix — prefix-freedom makes the sets
+            # disjoint), and the masked canonical path only carries the
+            # levels >= 9 compare chain.  Both halves execute every step
+            # (lock-step lanes); the win is the shorter chain.
+            idx = (win >> u32(24)).astype(jnp.int32)
+            e = _lane_lookup(plo_ref[:], phi_ref[:], idx)
+            ln_l = _chain_len(win, 9)
+            sym_l, _ = _chain_sym(win, ln_l)
+            short = e > 0
+            ln = jnp.where(short, e >> 8, ln_l)
+            sym = jnp.where(short, e & 255, sym_l)
+            return sym, ln, ln.astype(u32)
+        ln = _chain_len(win, min_len)
+        sym, lns = _chain_sym(win, ln)
         return sym, ln, lns
 
     def decode_one(a0, a1, a2, a3, valid):
@@ -1518,8 +1550,6 @@ def ils_decode(
             [boffs, jnp.repeat(boffs[-1:], pad, axis=0)], axis=0
         )
     boffs = boffs.reshape((n_tiles + pad) * n_win)
-    if probe and max_len > 8:
-        raise ValueError("probe decode requires max codeword length <= 8")
     kern = functools.partial(
         _decode_kernel, k=k, w_cap=w_cap, w_band=w_band, max_len=max_len,
         min_len=max(min(min_len, max_len), 1), nt=nt, iters=iters,

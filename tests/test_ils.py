@@ -196,20 +196,33 @@ def test_probe_decode_matches_oracle(lazy):
     assert np.array_equal(ils_decode_device(sec, table, dec, interpret=True), data)
 
 
-def test_probe_rejects_long_codes():
+@pytest.mark.parametrize("r", [0.5, 0.9])
+def test_hybrid_probe_decode_matches_oracle(r):
+    # long-code tables: the probe resolves codes <= 8 bits, the masked
+    # canonical path (levels >= 9 only) carries the rest — bit-exact
+    from huffman_tpu.ops.ils import _as_tiles_i32, ils_encode_to_device
     from huffman_tpu.ops.pallas.ils_kernels import ils_decode
     import jax.numpy as jnp
 
-    data = generate_redundant(12 * ILS_LANES, 0.5, seed=18)
+    k = 12
+    n = 2 * k * ILS_LANES
+    data = generate_redundant(n, r, seed=18)
     table = _fit(data)  # max_len 16
-    dec = ils_dec_tabs(table)
-    with pytest.raises(ValueError, match="probe"):
-        ils_decode(
-            jnp.zeros((8, 8, 128), jnp.int32), jnp.zeros(1, jnp.int32),
-            jnp.zeros(2, jnp.int32), jnp.zeros((1, 1), jnp.int32), dec,
-            k=12, w_cap=4, w_band=2, max_len=max(table.max_len_present, 9),
-            n_tiles=1, probe=True, interpret=True,
-        )
+    assert table.max_len_present > 8
+    enc, dec = ils_enc_tabs(table), ils_dec_tabs(table)
+    avg = float(table.lengths.astype(np.int64)[data].mean())
+    data_i32 = jnp.asarray(_as_tiles_i32(data, k))
+    rows, starts, p = ils_encode_to_device(
+        data_i32, enc, k=k, avg_bits=avg, rot=True, interpret=True
+    )
+    params = jnp.asarray(np.array([p.snum, 0], np.int32))
+    out = ils_decode(
+        rows, starts, params, jnp.asarray(p.boffs), dec, k=p.k,
+        w_cap=p.w_cap, w_band=p.w_band, max_len=table.max_len_present,
+        min_len=table.min_len, n_tiles=p.n_tiles, rot=True, probe=True,
+        interpret=True,
+    )
+    assert np.array_equal(np.asarray(out), np.asarray(data_i32))
 
 
 def test_stream_pack_matches_fused():

@@ -68,7 +68,8 @@ def gen_case(rng):
         data = np.clip(rng.zipf(rng.uniform(1.2, 2.5), n), 0, 255).astype(
             np.uint8
         )
-    max_len = int(rng.choice([9, 12, 16]))
+    # 8 exercises the LUT-probe decode (auto-selected for such tables)
+    max_len = int(rng.choice([8, 9, 12, 16]))
     return kind, data, k, max_len
 
 
@@ -125,10 +126,9 @@ def main():
 
     import jax
 
-    if not args.tpu and jax.default_backend() != "cpu":
-        from jax.extend.backend import clear_backends
-
-        clear_backends()
+    if not args.tpu:
+        # force CPU BEFORE the first backend probe: the ambient env pins
+        # the axon TPU platform and a wedged tunnel makes the probe hang
         jax.config.update("jax_platforms", "cpu")
     interpret = jax.default_backend() != "tpu"
 
