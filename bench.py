@@ -84,6 +84,9 @@ def main():
     ap.add_argument("--max-len", type=int, default=16,
                     help="codeword length limit (8 enables the probe A/B)")
     ap.add_argument("--optimize", choices=["speed", "ratio"], default="speed")
+    ap.add_argument("--e-band", type=int, default=None,
+                    help="fused-pack emission band override (A/B: the "
+                         "banded RMW write dominates pack cost)")
     ap.add_argument("--no-rotate", action="store_true",
                     help="disable the lane-decorrelation rotation "
                          "(the library default is ON)")
@@ -202,16 +205,17 @@ def main():
     )
 
     stride_rows = max(2 * (-(-p.k * maxlen // 64)), 4)
+    eb = {} if args.e_band is None else {"e_band": args.e_band}
     if stride_rows <= FUSED_STRIDE_BUDGET:
         pack_fn, path = ils_pack_certify, "fused 1-pass"
     else:
-        span = ils_stream_span_rows(p.k, stride_rows)
+        span = ils_stream_span_rows(p.k, stride_rows, **eb)
         if span is not None and span <= FUSED_STRIDE_BUDGET:
             pack_fn, path = ils_pack_certify_stream, "streaming 1-pass"
         else:
             pack_fn, path = None, "two-pass"
     pack_fn = pack_fn and functools.partial(
-        pack_fn, k=p.k, stride_rows=stride_rows, rot=rot
+        pack_fn, k=p.k, stride_rows=stride_rows, rot=rot, **eb
     )
     if pack_fn is not None:
         # mirror the library's violation fallback: skewed data may force
@@ -251,11 +255,9 @@ def main():
     reps = min(args.reps * max((1 << 26) // main_bytes, 1), 512)
     # A/B the LUT-probe symbol step: pure probe at max_len <= 8, hybrid
     # (probe + masked levels>=9 chain) for long-code tables
-    import functools as _ft
-
     dec_makers = {
         "canonical": mk_decode,
-        "probe": _ft.partial(mk_decode, probe=True),
+        "probe": functools.partial(mk_decode, probe=True),
     }
     t_decs = measure_chained_multi(
         dec_makers, max(reps // 4, 1), reps, payload_rows

@@ -226,7 +226,21 @@ def cmd_bench(args):
     print(f"verification: {'PASS' if ok else 'FAIL'}")
 
 
+def _force_platform_from_env():
+    """Honor JAX_PLATFORMS before any backend initializes.  On hosts with a
+    remote-TPU plugin, the env var alone still probes (and can hang on) the
+    remote device; jax.config.update skips the probe entirely."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None):
+    _force_platform_from_env()
     ap = argparse.ArgumentParser(prog="huffman_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

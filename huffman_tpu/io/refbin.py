@@ -53,16 +53,23 @@ def build_ref_driver() -> pathlib.Path:
     if exe.is_file():
         return exe
     cache.mkdir(parents=True, exist_ok=True)
-    tmp = cache / "ref_seq.build"
-    subprocess.run(
-        [
-            os.environ.get("CXX", "g++"), "-O2", "-std=c++17",
-            f'-DREF_SEQ_SOURCE="{src}"',
-            str(_DRIVER_SRC), "-o", str(tmp),
-        ],
-        check=True, capture_output=True, text=True,
-    )
-    os.replace(tmp, exe)  # atomic: concurrent builders race benignly
+    # private tmp name + atomic rename: concurrent builders (xdist workers)
+    # never see each other's partial output
+    fd, tmp = tempfile.mkstemp(prefix="ref_seq.", dir=cache)
+    os.close(fd)
+    try:
+        subprocess.run(
+            [
+                os.environ.get("CXX", "g++"), "-O2", "-std=c++17",
+                f'-DREF_SEQ_SOURCE="{src}"',
+                str(_DRIVER_SRC), "-o", tmp,
+            ],
+            check=True, capture_output=True, text=True,
+        )
+        os.replace(tmp, exe)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return exe
 
 

@@ -209,6 +209,9 @@ class GapArrayCodec:
             return self._decode_group_pallas(
                 words, gaps, counts, max_count, out_size
             )
+        # degenerate sub-2-bit codes exceed the Pallas kernel's per-segment
+        # row budget; the XLA path takes over with its LUT step
+        method = "lut" if self.method == "pallas" else self.method
         f = functools.partial(
             decode_block,
             dec=self.dec,
@@ -216,7 +219,7 @@ class GapArrayCodec:
             seg_bits=self.seg_bits,
             max_count=max_count,
             out_size=out_size,
-            method=self.method,
+            method=method,
         )
         out = jax.vmap(lambda w, gp, c: f(w, gp, c))(
             jnp.asarray(words), jnp.asarray(gaps), jnp.asarray(counts)

@@ -134,11 +134,14 @@ class IlsEncTabs(NamedTuple):
 class IlsDecTabs(NamedTuple):
     """Decoder tables: SMEM canonical limits + lane-dim bias/symbol tables.
 
-    ``probe_lo``/``probe_hi`` hold the 8-bit flat LUT ((len << 8) | sym per
-    top-8-bit window) for tables whose longest code fits 8 bits: there ONE
-    lane lookup replaces the whole canonical compare chain (`ils_decode`'s
-    ``probe`` path — the TPU form of the reference's per-thread LUT probe,
-    `gpuhd/src/cuhd_gpu_decoder.cu:93-117`).  All-zero when max_len > 8."""
+    ``probe_lo``/``probe_hi`` hold a partial 8-bit flat LUT ((len << 8) | sym
+    per top-8-bit window; 0 where the window's prefix belongs to a code
+    longer than 8 bits — prefix-freedom keeps the sets disjoint).  With
+    max_len <= 8 the LUT is total and ONE lane lookup replaces the whole
+    canonical compare chain; with longer codes `ils_decode`'s hybrid probe
+    resolves short codes from the LUT and falls back to a masked compare
+    chain over levels >= 9 (the TPU form of the reference's per-thread LUT
+    probe, `gpuhd/src/cuhd_gpu_decoder.cu:93-117`)."""
 
     lim: jnp.ndarray  # (1, 32) uint32 left-justified limits
     bias: jnp.ndarray  # (8, 128) int32 offsets[l] - first_code[l]

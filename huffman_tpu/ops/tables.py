@@ -85,16 +85,28 @@ def _two_level_prefix(table: CodeTable) -> int:
     return min(10, max(table.max_len_present, 1))
 
 
+def _two_level_boundary(table: CodeTable, p: int) -> int:
+    """First p-bit L1 index owned by long codes — the cheap scalar form of
+    ``build_two_level_table(...).boundary_code`` (equivalence pinned by
+    tests), so ``dec_spec`` need not build the full L2 arrays."""
+    syms = table.symtab
+    ls = table.lengths[syms].astype(np.int64)
+    cs = table.codes[syms].astype(np.int64)
+    long = ls > p
+    if not np.any(long):
+        return 1 << p
+    return int((cs[long] >> (ls[long] - p)).min())
+
+
 def dec_spec(table: CodeTable, lut_bits: int | None = None) -> DecSpec:
     b = int(lut_bits if lut_bits is not None else max(table.max_len_present, 1))
     p = _two_level_prefix(table)
-    two = build_two_level_table(table, p)
     return DecSpec(
         lut_bits=b,
         max_len=max(table.max_len_present, 1),
         min_len=max(table.min_len, 1),
         prefix_bits=p,
-        l1_boundary=int(two.boundary_code),
+        l1_boundary=_two_level_boundary(table, p),
     )
 
 

@@ -89,3 +89,15 @@ def test_gap_codec_pallas_method():
     comp = codec.encode(data)
     out = codec.decode(comp)
     assert np.array_equal(out, data)
+
+
+def test_gap_codec_pallas_degenerate_falls_back():
+    # sub-2-bit codes push per-segment counts past the Pallas row budget;
+    # the XLA path must take over (with a valid method, not "pallas")
+    from huffman_tpu.models import GapArrayCodec
+
+    data = np.zeros(40_000, np.uint8)
+    data[::97] = 7
+    codec = GapArrayCodec.fit(data, method="pallas")
+    out = codec.decode(codec.encode(data))
+    assert np.array_equal(out, data)

@@ -156,6 +156,26 @@ def test_two_level_table_matches_flat_lut():
         assert sym == lut_sym[idx] and ln == lut_len[idx]
 
 
+def test_dec_spec_boundary_matches_two_level_builder():
+    # dec_spec computes the L1 boundary without building L2 arrays; pin the
+    # cheap form to the full builder across table shapes
+    from huffman_tpu.ops.tables import _two_level_prefix, dec_spec
+
+    cases = [
+        generate_binomial(50_000, seed=13),
+        generate_redundant(50_000, 0.9, seed=14),
+        np.full(1000, 7, np.uint8),  # single symbol, no long codes
+        np.arange(256, dtype=np.uint8).repeat(4),  # uniform 8-bit codes
+    ]
+    for data in cases:
+        table = canonical_code_table(
+            package_merge_lengths(npref.histogram(data), 16), 16
+        )
+        p = _two_level_prefix(table)
+        tl = build_two_level_table(table, p)
+        assert dec_spec(table).l1_boundary == int(tl.boundary_code)
+
+
 @pytest.mark.parametrize("gen,seed", [("red0.5", 9), ("red0.9", 10), ("binom", 11)])
 def test_npref_roundtrip(gen, seed):
     if gen == "binom":

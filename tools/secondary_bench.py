@@ -72,10 +72,21 @@ def bench_gap_pallas(args, interpret):
     from huffman_tpu.ops.pallas.decode_kernel import decode_block_pallas
     from huffman_tpu.utils import generate_redundant
 
+    from huffman_tpu.ops.compact import MAX_ROW_BYTES
+
     s1 = args.size // 2
     data = generate_redundant(2 * s1, args.redundancy, seed=0)
     codec = GapArrayCodec.fit(data, block_bytes=s1, method="pallas")
     comp = codec.encode(data)  # 2 blocks of s1 bytes
+
+    worst = max(int(c.max()) for c in comp.block_counts)
+    if worst > MAX_ROW_BYTES:
+        # degenerate sub-2-bit codes: the codec itself falls back to the XLA
+        # path here, so there is no Pallas number to measure
+        log(f"gap-pallas: skipped (segment count {worst} exceeds the kernel "
+            f"row budget {MAX_ROW_BYTES}; lower --redundancy)")
+        return {"metric": "htc1_pallas_decode_gbps", "value": 0.0,
+                "unit": "GB/s", "skipped": "counts exceed kernel row budget"}
 
     prep = {}
     for nb, size in ((1, s1), (2, 2 * s1)):
