@@ -116,10 +116,57 @@ def one_case(i, rng, interpret):
     return kind, data.size, k, max_len
 
 
+def secondary_case(i, rng, interpret):
+    """Secondary-path differential: gap-array codec (random decode method,
+    incl. the Pallas placement kernel), self-sync decode of a raw stream,
+    and the reference Yamamoto container, on a small random slice."""
+    from huffman_tpu.core import canonical_code_table, npref, package_merge_lengths
+    from huffman_tpu.io.yamamoto import decode_yamamoto, write_yamamoto
+    from huffman_tpu.models import GapArrayCodec
+    from huffman_tpu.models.selfsync import selfsync_decode_device
+
+    kind, data, _, max_len = gen_case(rng)
+    n = int(rng.integers(1, 80_000))
+    data = data[:n]
+    freqs = npref.histogram(data)
+    if int(np.count_nonzero(freqs)) > (1 << max_len):
+        max_len = 16
+
+    which = rng.choice(["gap", "selfsync", "yamamoto"])
+    if which == "gap":
+        method = str(rng.choice(["lut", "canonical", "twolevel", "pallas"]))
+        codec = GapArrayCodec.fit(
+            data, max_len=max_len, block_bytes=int(rng.choice(
+                [1 << 14, 1 << 16, 1 << 24])), method=method,
+        )
+        out = codec.decode(codec.encode(data))
+        assert np.array_equal(out, data), f"gap[{method}] roundtrip mismatch"
+        which = f"gap[{method}]"
+    elif which == "selfsync":
+        table = canonical_code_table(
+            package_merge_lengths(freqs, max_len), max_len
+        )
+        words, total_bits = npref.encode_bits(data, table)
+        out = selfsync_decode_device(
+            words, total_bits, table, interpret=interpret
+        )
+        assert np.array_equal(np.asarray(out), data), "selfsync mismatch"
+    else:
+        table = canonical_code_table(
+            package_merge_lengths(freqs, max_len), max_len
+        )
+        out = decode_yamamoto(write_yamamoto(data, table))
+        assert np.array_equal(np.asarray(out), data), "yamamoto mismatch"
+    return which, data.size, 0, max_len
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--secondary-every", type=int, default=4, metavar="N",
+                    help="run a secondary-path case every N iterations "
+                         "(0 disables)")
     ap.add_argument("--tpu", action="store_true",
                     help="run kernels compiled on the live TPU")
     args = ap.parse_args()
@@ -134,9 +181,13 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     for i in range(args.iters):
+        sec = args.secondary_every and i % args.secondary_every == (
+            args.secondary_every - 1
+        )
+        case = secondary_case if sec else one_case
         try:
-            kind, n, k, max_len = one_case(i, rng, interpret)
-            print(f"[{i:3d}] ok  {kind:10s} n={n:8d} k={k:3d} L={max_len}",
+            kind, n, k, max_len = case(i, rng, interpret)
+            print(f"[{i:3d}] ok  {kind:14s} n={n:8d} k={k:3d} L={max_len}",
                   flush=True)
         except Exception as e:
             print(f"[{i:3d}] FAIL seed={args.seed} iter={i}: {e}", flush=True)
