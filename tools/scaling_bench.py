@@ -38,12 +38,9 @@ def main():
 
     import jax
 
-    if args.interpret and jax.default_backend() != "cpu":
-        # the container's sitecustomize pins the TPU platform via the config
-        # API; interpret mode implies the virtual CPU mesh
-        from jax.extend.backend import clear_backends
-
-        clear_backends()
+    if args.interpret:
+        # force CPU BEFORE any backend query: probing the pinned remote-TPU
+        # platform initializes it (and hangs when the tunnel is down)
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
