@@ -161,15 +161,23 @@ def main():
     minlen = max(codec.table.min_len, 1)
     dec, enc = codec.dec, codec.enc
 
-    @jax.jit
-    def verify(payload_rows, row_starts, params, data_i32):
-        out = ils_decode(payload_rows, row_starts, params, boffs, dec, k=p.k,
-                         w_cap=p.w_cap, w_band=p.w_band, max_len=maxlen,
-                         min_len=minlen, n_tiles=p.n_tiles, rot=p.rot)
-        return jnp.all(out == data_i32)
+    def mk_verify(probe):
+        @jax.jit
+        def verify(payload_rows, row_starts, params, data_i32):
+            out = ils_decode(payload_rows, row_starts, params, boffs, dec,
+                             k=p.k, w_cap=p.w_cap, w_band=p.w_band,
+                             max_len=maxlen, min_len=minlen,
+                             n_tiles=p.n_tiles, rot=p.rot, probe=probe)
+            return jnp.all(out == data_i32)
+        return verify
 
-    ok = bool(verify(payload_rows, row_starts, params, data_i32))
-    log(f"verification (on-device): {'PASS' if ok else 'FAIL'}")
+    # both decode variants are timed below, so both must verify on device
+    # (the headline may be the probe path for max_len <= 8 tables)
+    ok = all(
+        bool(mk_verify(pr)(payload_rows, row_starts, params, data_i32))
+        for pr in (False, True)
+    )
+    log(f"verification (on-device, canonical+probe): {'PASS' if ok else 'FAIL'}")
     if not ok:
         print(json.dumps({"metric": "decode_gbps_1chip", "value": 0.0,
                           "unit": "GB/s", "vs_baseline": 0.0}))
@@ -214,6 +222,11 @@ def main():
             pack_fn, path = ils_pack_certify_stream, "streaming 1-pass"
         else:
             pack_fn, path = None, "two-pass"
+    if pack_fn is not None and p.w_cap > 2 * stride_rows:
+        # library parity (ops/ils.py): ils_compact over-reads w_cap rows per
+        # tile from the strided region; an envelope-widened cap past the
+        # trailing stride_rows of slack would read out of bounds
+        pack_fn, path = None, "two-pass"
     pack_fn = pack_fn and functools.partial(
         pack_fn, k=p.k, stride_rows=stride_rows, rot=rot, **eb
     )

@@ -80,11 +80,11 @@ def _htc_block_parts(comp: Compressed):
         yield words.astype(np.uint32).tobytes()
 
 
-def _htc_crc(comp: Compressed) -> int:
+def _htc_crc(comp: Compressed, parts=None) -> int:
     import zlib
 
     crc = zlib.crc32(str(comp.original_size).encode())
-    for part in _htc_block_parts(comp):
+    for part in parts if parts is not None else _htc_block_parts(comp):
         crc = zlib.crc32(part, crc)
     return crc & 0xFFFFFFFF
 
@@ -103,16 +103,17 @@ def write_container(comp: Compressed) -> bytes:
     seg_bits = comp.seg_bits
     log2_seg = seg_bits.bit_length() - 1
     assert 1 << log2_seg == seg_bits
+    blocks = list(_htc_block_parts(comp))  # materialize once: CRC + body
     parts = [
         _HEADER.pack(
             MAGIC, 2, 1, log2_seg, comp.table.max_len, comp.table.num_symbols
         ),
-        struct.pack("<I", _htc_crc(comp)),
+        struct.pack("<I", _htc_crc(comp, blocks)),
         _table_entries(comp.table).tobytes(),
         _SIZES.pack(comp.original_size, comp.block_bytes, comp.n_blocks),
         np.asarray(comp.block_total_bits, np.uint64).tobytes(),
     ]
-    parts.extend(_htc_block_parts(comp))
+    parts.extend(blocks)
     return b"".join(parts)
 
 
@@ -278,7 +279,10 @@ def read_ils_container(buf: bytes):
         k, snum, flags, w_band, w_cap, n_tiles = _ILS_SECTION.unpack_from(
             mv, off
         )
-        if flags & ~1:
+        if flags & ~1 or (version == 3 and flags):
+            # the flags word is defined (and rotation legal) only from v4;
+            # v3 reserves it as zero — rejecting here catches a metadata
+            # bit flip the payload CRC cannot see
             raise ValueError(f"unknown ILS section flags {flags:#x}")
         off += _ILS_SECTION.size
         w_tiles = np.frombuffer(mv, np.uint32, n_tiles, off).astype(np.int32)

@@ -39,7 +39,13 @@ def ref_seq_source() -> pathlib.Path:
 
 
 def ref_available() -> bool:
-    return ref_seq_source().is_file() and _DRIVER_SRC.is_file()
+    import shutil
+
+    return (
+        ref_seq_source().is_file()
+        and _DRIVER_SRC.is_file()
+        and shutil.which(os.environ.get("CXX", "g++")) is not None
+    )
 
 
 def build_ref_driver() -> pathlib.Path:

@@ -224,7 +224,13 @@ def ils_encode_to_device(
         ) >> 20
     stride_rows = max(2 * (-(-k * max_len // 64)), 4)
     fused = None
-    if stride_rows <= FUSED_STRIDE_BUDGET:
+    if stride_rows < 8:
+        # the compact gate below (w_cap <= 2 * stride_rows) can never pass:
+        # the certified cap is at least round_cap(2 * round_band(...)) = 16,
+        # so the fused pack would run only to be discarded.  Tiny tail
+        # sections (k_tail * max_len < 256 bits) go straight to two-pass.
+        pass
+    elif stride_rows <= FUSED_STRIDE_BUDGET:
         fused = ils_pack_certify
     else:
         # worst-case stride exceeds the pack scratch (k=8192/16384 ratio

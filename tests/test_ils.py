@@ -423,6 +423,12 @@ def test_container_rejects_unknown_section_flags():
     blob[off] = 0x02
     with pytest.raises(ValueError, match="flags|checksum"):
         read_ils_container(bytes(blob))
+    # a v3 container reserves the flags word as zero: a flipped rotation
+    # bit (legal only from v4) must be rejected, not silently decoded
+    # rotated (the payload CRC cannot see section metadata)
+    blob[off] = 0x01
+    with pytest.raises(ValueError, match="flags|checksum"):
+        read_ils_container(bytes(blob))
 
 
 def test_rotation_decorrelates_periodic_content():

@@ -271,30 +271,18 @@ def bench_block_methods(args, interpret):
         log(f"decode_block[{method}] verify: {'PASS' if ok else 'FAIL'}")
         results[method] = {"verified": ok}
 
-    # interleave all three methods across trials (same drift regime)
-    import itertools
+    # interleave all three methods across trials (same drift regime) —
+    # reuse the headline bench's A/B discipline
+    from bench import measure_chained_multi
 
-    fns = {}
-    for method, mk in makers.items():
-        fns[method] = (mk(max(reps // 4, 1)), mk(reps))
-        for f in fns[method]:
-            np.asarray(f(words, gaps, counts))
-    times = {m: ([], []) for m in makers}
-    for _ in range(args.trials):
-        for m, (f1, f2) in fns.items():
-            t0 = time.perf_counter()
-            np.asarray(f1(words, gaps, counts))
-            times[m][0].append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            np.asarray(f2(words, gaps, counts))
-            times[m][1].append(time.perf_counter() - t0)
-    for m in makers:
-        t1, t2 = times[m]
-        dt = max((min(t2) - min(t1)) / (reps - max(reps // 4, 1)), 1e-9)
+    ts = measure_chained_multi(
+        makers, max(reps // 4, 1), reps, words, gaps, counts,
+        trials=args.trials,
+    )
+    for m, dt in ts.items():
         gbps = size / dt / 1e9
         results[m]["gbps"] = round(gbps, 4)
         log(f"decode_block[{m}]: {gbps:.3f} GB/s")
-    del itertools
     return {"metric": "decode_block_method_ab", "value":
             results["canonical"]["gbps"], "unit": "GB/s",
             "methods": results, "block_bytes": size, "seg_bits": SEG_BITS}
