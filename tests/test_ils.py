@@ -162,6 +162,36 @@ def test_fused_pack_violation_falls_back():
     assert int(jnp.max(viol)) == 1  # the skewed stream leaves the band
 
 
+def test_fused_pack_wider_e_band_same_output():
+    # bench.py --e-band A/Bs the emission-band width; a wider band must
+    # change only the kernel's work shape, never the certified outputs
+    import jax.numpy as jnp
+
+    from huffman_tpu.core.ils_ref import ils_schedule_numer
+    from huffman_tpu.ops.ils import _as_tiles_i32
+    from huffman_tpu.ops.pallas.ils_kernels import ils_pack_certify
+
+    k = 64
+    data = generate_redundant(2 * k * ILS_LANES, 0.5, seed=31)
+    table = _fit(data)
+    enc = ils_enc_tabs(table)
+    avg = float(table.lengths.astype(np.int64)[data].mean())
+    ml = int(table.max_len_present)
+    stride_rows = max(2 * (-(-k * ml // 64)), 4)
+    snum = ils_schedule_numer(avg)
+    params = jnp.asarray(np.array([snum, 0], np.int32))
+    data_i32 = jnp.asarray(_as_tiles_i32(data, k))
+    ref = ils_pack_certify(
+        data_i32, params, enc, k=k, stride_rows=stride_rows, interpret=True,
+    )
+    got = ils_pack_certify(
+        data_i32, params, enc, k=k, stride_rows=stride_rows, interpret=True,
+        e_band=64,
+    )
+    for name, a, b in zip(("pay", "bits", "dn", "dx", "viol"), ref, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
 @pytest.mark.parametrize("lazy", [False, True])
 def test_probe_decode_matches_oracle(lazy):
     # max_len=8 tables: the 256-entry lane-probe symbol step must be
