@@ -232,31 +232,28 @@ class GapArrayCodec:
         The ragged-output placement that the reference does with prefix sums
         + atomicOr (`decoder/src/decoder.cu:571-729`) runs on device via the
         banded compaction kernel (`ops/pallas/compact_kernel.py`); only the
-        final decoded bytes cross to the host.  Degenerate tables whose
-        segments exceed the kernel's row budget (sub-2-bit mean code length)
-        fall back to the XLA decode path.
+        final decoded bytes cross to the host.  The whole group goes through
+        ONE batched dispatch (`decode_blocks_pallas`) — the per-block form
+        would pay the tunnel's dispatch floor once per block.  Degenerate
+        tables whose segments exceed the kernel's row budget (sub-2-bit mean
+        code length) fall back to the XLA decode path.
         """
-        from ..ops.pallas.decode_kernel import decode_block_pallas
+        from ..ops.pallas.decode_kernel import decode_blocks_pallas
 
-        g, n_segs = gaps.shape
-        out = np.empty((g, out_size), np.uint8)
         interpret = jax.default_backend() != "tpu"
-        for j in range(g):
-            dev = decode_block_pallas(
-                jnp.asarray(words[j]),
-                gaps[j],
-                counts[j],
-                self.dec,
-                symtab=self.table.symtab,
-                spec=self.spec,
-                seg_bits=self.seg_bits,
-                n_segs=n_segs,
-                max_count=max_count,
-                out_size=out_size,
-                interpret=interpret,
-            )
-            out[j] = np.asarray(dev)
-        return out
+        dev = decode_blocks_pallas(
+            jnp.asarray(words),
+            gaps,
+            counts,
+            self.dec,
+            symtab=self.table.symtab,
+            spec=self.spec,
+            seg_bits=self.seg_bits,
+            max_count=max_count,
+            out_size=out_size,
+            interpret=interpret,
+        )
+        return np.asarray(dev)
 
     def decode(self, comp: Compressed) -> np.ndarray:
         n = comp.original_size

@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..tables import DecSpec, DeviceDecTable
 
-__all__ = ["decode_block_pallas", "decode_ranks_pallas"]
+__all__ = ["decode_block_pallas", "decode_blocks_pallas", "decode_ranks_pallas"]
 
 LANES = 128
 SUBLANES = 8
@@ -208,6 +208,77 @@ def decode_ranks_pallas(
     return packed.reshape(out_rows, n_segs_p)
 
 
+def decode_blocks_pallas(
+    words: jnp.ndarray,
+    gaps: "np.ndarray",
+    counts: "np.ndarray",
+    dec: DeviceDecTable,
+    *,
+    symtab: "np.ndarray",
+    spec: DecSpec,
+    seg_bits: int,
+    max_count: int,
+    out_size: int,
+    interpret: bool = False,
+):
+    """Batched Pallas decode of G independent equal-size blocks.
+
+    One ranks-kernel dispatch + one compaction for the whole group (the
+    per-block form costs a full tunnel round-trip per block): each block's
+    payload is padded to exactly ``n_segs * wps`` words so the blocks'
+    segment grids concatenate into one flat segment stream, and the ragged
+    placement of the concatenation IS the concatenation of the blocks'
+    outputs.  Zero-count padding segments between blocks place nothing (the
+    compaction masks each row to its exact count); they only widen the
+    certified band at block seams by the per-block segment-count spread.
+
+    Args:
+      words: (G, W) uint32 per-block payload words (any W; sliced/padded to
+        the segment grid on device).
+      gaps/counts: (G, n_segs) HOST arrays — exact per-segment metadata;
+        counts of each row must sum to ``out_size``.
+      out_size: decoded bytes PER BLOCK.
+
+    Returns a device (G, out_size) uint8 array; nothing of payload size
+    crosses the host boundary.
+    """
+    import numpy as np
+
+    from ..compact import compact_ranks_device
+
+    g, n_segs = gaps.shape
+    wps = seg_bits // 32
+    w_pad = n_segs * wps
+    n_copy = min(int(words.shape[1]), w_pad)
+    words_flat = (
+        jnp.zeros((g, w_pad), jnp.uint32)
+        .at[:, :n_copy]
+        .set(jnp.asarray(words)[:, :n_copy])
+        .reshape(-1)
+    )
+    gaps_h = np.ascontiguousarray(gaps, np.int32).reshape(-1)
+    counts_h = np.ascontiguousarray(counts, np.int64).reshape(-1)
+    packed = decode_ranks_pallas(
+        words_flat,
+        jnp.asarray(gaps_h),
+        jnp.asarray(counts_h.astype(np.int32)),
+        dec,
+        spec=spec,
+        seg_bits=seg_bits,
+        n_segs=g * n_segs,
+        max_count=max_count,
+        interpret=interpret,
+    )
+    out = compact_ranks_device(
+        packed,
+        counts_h,
+        symtab,
+        g * out_size,
+        interpret=interpret,
+    )
+    return out.reshape(g, out_size)
+
+
 def decode_block_pallas(
     words: jnp.ndarray,
     gaps: jnp.ndarray,
@@ -232,24 +303,17 @@ def decode_block_pallas(
     """
     import numpy as np
 
-    from ..compact import compact_ranks_device
-
     counts_h = np.asarray(counts)[:n_segs]
-    packed = decode_ranks_pallas(
-        words,
-        jnp.asarray(gaps),
-        jnp.asarray(counts_h.astype(np.int32)),
+    gaps_h = np.asarray(gaps)[:n_segs]
+    return decode_blocks_pallas(
+        jnp.asarray(words)[None],
+        gaps_h[None],
+        counts_h[None],
         dec,
+        symtab=symtab,
         spec=spec,
         seg_bits=seg_bits,
-        n_segs=n_segs,
         max_count=max_count,
+        out_size=out_size,
         interpret=interpret,
-    )
-    return compact_ranks_device(
-        packed,
-        counts_h,
-        symtab,
-        out_size,
-        interpret=interpret,
-    )
+    )[0]

@@ -91,6 +91,67 @@ def test_gap_codec_pallas_method():
     assert np.array_equal(out, data)
 
 
+def test_gap_codec_pallas_batched_matches_single():
+    """decode_blocks_pallas (one dispatch per group) must equal the
+    per-block decode_block_pallas bit-for-bit on heterogeneous content,
+    where per-block segment-count spread puts zero-count padding segments
+    at every block seam of the flattened segment stream."""
+    import jax.numpy as jnp
+
+    from huffman_tpu.models import GapArrayCodec
+    from huffman_tpu.ops.pallas.decode_kernel import (
+        decode_block_pallas,
+        decode_blocks_pallas,
+    )
+    from huffman_tpu.utils import generate_redundant
+
+    bb = 1 << 15
+    rng = np.random.default_rng(31)
+    data = np.concatenate([
+        generate_redundant(bb, 0.9, seed=1),          # short codes
+        rng.integers(0, 256, bb).astype(np.uint8),    # incompressible
+        generate_redundant(bb, 0.7, seed=3),          # mid entropy
+        generate_redundant(bb, 0.3, seed=2),          # long codes
+    ])
+    codec = GapArrayCodec.fit(data, block_bytes=bb, method="pallas")
+    comp = codec.encode(data)
+    assert comp.n_blocks == 4
+    spread = {c.size for c in comp.block_gaps}
+    assert len(spread) > 1  # real per-block segment-count variation
+
+    # stage the group exactly like GapArrayCodec._decode_group
+    max_w = max(w.size for w in comp.block_words)
+    max_s = max(g.size for g in comp.block_gaps)
+    g = comp.n_blocks
+    words = np.zeros((g, max_w + 1), np.uint32)
+    gaps = np.zeros((g, max_s), np.int32)
+    counts = np.zeros((g, max_s), np.int32)
+    for j in range(g):
+        words[j, : comp.block_words[j].size] = comp.block_words[j]
+        gaps[j, : comp.block_gaps[j].size] = comp.block_gaps[j]
+        counts[j, : comp.block_counts[j].size] = comp.block_counts[j]
+    max_count = -(-int(counts.max()) // 8) * 8
+
+    batched = np.asarray(decode_blocks_pallas(
+        jnp.asarray(words), gaps, counts, codec.dec,
+        symtab=codec.table.symtab, spec=codec.spec,
+        seg_bits=codec.seg_bits, max_count=max_count, out_size=bb,
+        interpret=True,
+    ))
+    np.testing.assert_array_equal(batched.reshape(-1), data)
+    for j in range(g):
+        single = np.asarray(decode_block_pallas(
+            jnp.asarray(words[j]), gaps[j], counts[j], codec.dec,
+            symtab=codec.table.symtab, spec=codec.spec,
+            seg_bits=codec.seg_bits, n_segs=max_s, max_count=max_count,
+            out_size=bb, interpret=True,
+        ))
+        np.testing.assert_array_equal(batched[j], single)
+
+    # end-to-end: the codec's own group path decodes the same bytes
+    np.testing.assert_array_equal(codec.decode(comp), data)
+
+
 def test_gap_codec_pallas_degenerate_falls_back():
     # sub-2-bit codes push per-segment counts past the Pallas row budget;
     # the XLA path must take over (with a valid method, not "pallas")
