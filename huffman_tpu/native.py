@@ -43,9 +43,14 @@ def _load():
         return None
     here = pathlib.Path(__file__).resolve().parent
     candidates = [
-        here.parent / "native" / "libhuffman_native.so",
-        here / "libhuffman_native.so",
+        here.parent / "native" / "libhuffman_native.so",  # repo checkout
+        here / "libhuffman_native.so",  # copied next to the package
     ]
+    # installed packages (site-packages) have no native/ sibling; let the
+    # user point at a built .so explicitly
+    env = os.environ.get("HUFFMAN_TPU_NATIVE")
+    if env:
+        candidates.insert(0, pathlib.Path(env))
     for c in candidates:
         if c.exists():
             try:

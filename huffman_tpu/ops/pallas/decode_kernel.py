@@ -208,6 +208,40 @@ def decode_ranks_pallas(
     return packed.reshape(out_rows, n_segs_p)
 
 
+#: output bytes per batched dispatch: the rank matrix, its transpose and
+#: the band-padded rows copy all scale with the group's TOTAL output, so an
+#: unbounded group would put several x the file size on device at once
+GROUP_OUT_BYTES = 1 << 26  # 64 MiB
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "seg_bits", "n_segs_b", "max_count", "interpret"),
+)
+def _ranks_blocks(
+    words2d, gaps_flat, counts_flat, dec, *, spec, seg_bits, n_segs_b,
+    max_count, interpret,
+):
+    """Pad each block's payload row to its segment grid, flatten, decode —
+    one fused dispatch (eager staging would pay the tunnel's ~29 ms
+    dispatch floor two extra times per group)."""
+    g, w = words2d.shape
+    wps = seg_bits // 32
+    w_pad = n_segs_b * wps
+    n_copy = min(w, w_pad)
+    words_flat = (
+        jnp.zeros((g, w_pad), jnp.uint32)
+        .at[:, :n_copy]
+        .set(words2d[:, :n_copy])
+        .reshape(-1)
+    )
+    return decode_ranks_pallas(
+        words_flat, gaps_flat, counts_flat, dec, spec=spec,
+        seg_bits=seg_bits, n_segs=g * n_segs_b, max_count=max_count,
+        interpret=interpret,
+    )
+
+
 def decode_blocks_pallas(
     words: jnp.ndarray,
     gaps: "np.ndarray",
@@ -223,14 +257,26 @@ def decode_blocks_pallas(
 ):
     """Batched Pallas decode of G independent equal-size blocks.
 
-    One ranks-kernel dispatch + one compaction for the whole group (the
-    per-block form costs a full tunnel round-trip per block): each block's
-    payload is padded to exactly ``n_segs * wps`` words so the blocks'
-    segment grids concatenate into one flat segment stream, and the ragged
-    placement of the concatenation IS the concatenation of the blocks'
-    outputs.  Zero-count padding segments between blocks place nothing (the
-    compaction masks each row to its exact count); they only widen the
-    certified band at block seams by the per-block segment-count spread.
+    One ranks-kernel dispatch + one compaction per sub-group (the per-block
+    form costs a full tunnel round-trip per block): each block's payload is
+    padded to exactly ``n_segs * wps`` words so the blocks' segment grids
+    concatenate into one flat segment stream, and the ragged placement of
+    the concatenation IS the concatenation of the blocks' outputs.
+    Zero-count padding segments between blocks place nothing (the compaction
+    masks each row to its exact count).
+
+    Constraints handled here:
+
+    - groups are capped at ``GROUP_OUT_BYTES`` of output per dispatch — the
+      intermediate rank matrices scale with the group's total output, so an
+      uncapped group would stage several x the file size in HBM at once;
+    - batching requires ``out_size`` to be a multiple of the compaction
+      tile (4096 B): aligned seams start exactly at an output tile, where
+      `plan_tiles`'s half-open searchsorted windows exclude the seam's
+      zero-count segments; a mid-tile seam would widen the GLOBAL certified
+      band by the whole per-block segment-count spread (measured: 40 -> 552
+      on a 2-block case).  Non-aligned out_size falls back to per-block
+      dispatches (a lone block has no seams, so any out_size is safe).
 
     Args:
       words: (G, W) uint32 per-block payload words (any W; sliced/padded to
@@ -245,38 +291,38 @@ def decode_blocks_pallas(
     import numpy as np
 
     from ..compact import compact_ranks_device
+    from .compact_kernel import TILE_BYTES
 
     g, n_segs = gaps.shape
-    wps = seg_bits // 32
-    w_pad = n_segs * wps
-    n_copy = min(int(words.shape[1]), w_pad)
-    words_flat = (
-        jnp.zeros((g, w_pad), jnp.uint32)
-        .at[:, :n_copy]
-        .set(jnp.asarray(words)[:, :n_copy])
-        .reshape(-1)
-    )
-    gaps_h = np.ascontiguousarray(gaps, np.int32).reshape(-1)
-    counts_h = np.ascontiguousarray(counts, np.int64).reshape(-1)
-    packed = decode_ranks_pallas(
-        words_flat,
-        jnp.asarray(gaps_h),
-        jnp.asarray(counts_h.astype(np.int32)),
-        dec,
-        spec=spec,
-        seg_bits=seg_bits,
-        n_segs=g * n_segs,
-        max_count=max_count,
-        interpret=interpret,
-    )
-    out = compact_ranks_device(
-        packed,
-        counts_h,
-        symtab,
-        g * out_size,
-        interpret=interpret,
-    )
-    return out.reshape(g, out_size)
+    words = jnp.asarray(words)
+    gaps_h = np.ascontiguousarray(gaps, np.int32)
+    counts_h = np.ascontiguousarray(counts, np.int64)
+
+    if out_size % TILE_BYTES == 0 and out_size <= GROUP_OUT_BYTES:
+        gg = max(GROUP_OUT_BYTES // max(out_size, 1), 1)
+    else:
+        gg = 1  # per-block: no seams, any out_size/footprint is safe
+
+    pieces = []
+    for lo in range(0, g, gg):
+        hi = min(lo + gg, g)
+        cf = counts_h[lo:hi].reshape(-1)
+        packed = _ranks_blocks(
+            words[lo:hi],
+            jnp.asarray(gaps_h[lo:hi].reshape(-1)),
+            jnp.asarray(cf.astype(np.int32)),
+            dec,
+            spec=spec,
+            seg_bits=seg_bits,
+            n_segs_b=n_segs,
+            max_count=max_count,
+            interpret=interpret,
+        )
+        out = compact_ranks_device(
+            packed, cf, symtab, (hi - lo) * out_size, interpret=interpret
+        )
+        pieces.append(out.reshape(hi - lo, out_size))
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
 
 
 def decode_block_pallas(

@@ -151,6 +151,41 @@ def test_gap_codec_pallas_batched_matches_single():
     # end-to-end: the codec's own group path decodes the same bytes
     np.testing.assert_array_equal(codec.decode(comp), data)
 
+    # sub-group chunking (the HBM footprint cap) must not change outputs
+    from huffman_tpu.ops.pallas import decode_kernel as dk
+
+    orig = dk.GROUP_OUT_BYTES
+    try:
+        dk.GROUP_OUT_BYTES = 2 * bb  # forces 2 sub-groups of 2 blocks
+        chunked = np.asarray(decode_blocks_pallas(
+            jnp.asarray(words), gaps, counts, codec.dec,
+            symtab=codec.table.symtab, spec=codec.spec,
+            seg_bits=codec.seg_bits, max_count=max_count, out_size=bb,
+            interpret=True,
+        ))
+    finally:
+        dk.GROUP_OUT_BYTES = orig
+    np.testing.assert_array_equal(chunked, batched)
+
+
+def test_gap_codec_pallas_unaligned_block_bytes():
+    """Block sizes that are not a multiple of the 4096 B compaction tile
+    must fall back to per-block dispatches (a mid-tile seam would widen
+    the global certified band by the whole per-block segment spread) and
+    still round-trip."""
+    from huffman_tpu.models import GapArrayCodec
+    from huffman_tpu.utils import generate_redundant
+
+    rng = np.random.default_rng(32)
+    data = np.concatenate([
+        generate_redundant(100_000, 0.9, seed=7),
+        rng.integers(0, 256, 100_000).astype(np.uint8),
+        generate_redundant(30_000, 0.5, seed=8),
+    ])
+    codec = GapArrayCodec.fit(data, block_bytes=100_000, method="pallas")
+    out = codec.decode(codec.encode(data))
+    np.testing.assert_array_equal(out, data)
+
 
 def test_gap_codec_pallas_degenerate_falls_back():
     # sub-2-bit codes push per-segment counts past the Pallas row budget;
