@@ -175,7 +175,7 @@ def decode_yamamoto(buf: bytes) -> np.ndarray:
     table, words, gaps, original_size = read_yamamoto(buf)
     if original_size == 0:
         return np.zeros(0, np.uint8)
-    dec = device_dec_table(table)
+    dec = device_dec_table(table, two_level=False)
     spec = dec_spec(table)
     n_segs = gaps.shape[0]
     words_j = jnp.asarray(np.concatenate([words, np.zeros(2, np.uint32)]))

@@ -100,7 +100,7 @@ class GapArrayCodec:
         self.block_bytes = int(block_bytes)
         self.method = method
         self.enc = device_enc_table(table)
-        self.dec = device_dec_table(table)
+        self.dec = device_dec_table(table, two_level=(method == "twolevel"))
         # dec_spec, not a hand-rolled DecSpec: the twolevel method needs the
         # prefix/boundary fields filled in
         self.spec = dec_spec(table)
@@ -206,9 +206,12 @@ class GapArrayCodec:
         from ..ops.compact import MAX_ROW_BYTES
 
         if self.method == "pallas" and max_count <= MAX_ROW_BYTES:
-            return self._decode_group_pallas(
-                words, gaps, counts, max_count, out_size
-            )
+            try:
+                return self._decode_group_pallas(
+                    words, gaps, counts, max_count, out_size
+                )
+            except ValueError:
+                pass  # VMEM-infeasible segment window: XLA path below
         # degenerate sub-2-bit codes exceed the Pallas kernel's per-segment
         # row budget; the XLA path takes over with its LUT step
         method = "lut" if self.method == "pallas" else self.method

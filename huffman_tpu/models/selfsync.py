@@ -128,7 +128,7 @@ def selfsync_decode_device(
     total_syms = int(counts_h.sum(dtype=np.int64))
     max_count = int(counts_h.max()) if n_subseq else 1
 
-    dec = device_dec_table(table)
+    dec = device_dec_table(table, two_level=False)
     spec = DecSpec(lut_bits=max_len, max_len=max_len, min_len=max(table.min_len, 1))
     ranks = decode_ranks_pallas(
         words_j,
@@ -144,11 +144,14 @@ def selfsync_decode_device(
     from ..ops.compact import MAX_ROW_BYTES, compact_ranks_device
 
     if max_count <= MAX_ROW_BYTES:
-        # device ragged-concat placement (ops/pallas/compact_kernel.py):
-        # the decoded bytes stay on device until the caller pulls them
-        return compact_ranks_device(
-            ranks, counts_h, table.symtab, total_syms, interpret=interpret
-        )
+        try:
+            # device ragged-concat placement (ops/pallas/compact_kernel.py):
+            # the decoded bytes stay on device until the caller pulls them
+            return compact_ranks_device(
+                ranks, counts_h, table.symtab, total_syms, interpret=interpret
+            )
+        except ValueError:
+            pass  # VMEM-infeasible segment window: host compaction below
 
     # degenerate sub-2-bit codes: host mask compaction over padded ranks
     ranks_h = np.asarray(ranks)[:, :n_subseq]  # (out_rows, n)

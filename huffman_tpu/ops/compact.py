@@ -29,7 +29,15 @@ from .pallas.compact_kernel import (
 
 __all__ = ["compact_ranks_device", "CHUNK_OUT_BYTES", "MAX_ROW_BYTES"]
 
-CHUNK_OUT_BYTES = 1 << 21  # 2 MiB of output per kernel invocation
+CHUNK_OUT_BYTES = 1 << 21  # 2 MiB of output per kernel invocation (maximum)
+
+# VMEM footprint per segment of window: rows (128 lanes int32) plus offs and
+# counts, whose (s_cap, 1) blocks Mosaic lane-pads to 128 — 3 * 512 B.  Budget
+# 10 MB of the 16 MB/core for the window (out blocks, symbol tables, and
+# rotate/roll temporaries take the rest); high-entropy data (short segments
+# per output byte) shrinks the chunk to fit instead of blowing the budget.
+_SEG_WINDOW_BYTES = 3 * 512
+_S_CAP_MAX = ((10 << 20) // _SEG_WINDOW_BYTES) & ~7
 
 
 def _cdiv(a, b):
@@ -80,7 +88,8 @@ def compact_ranks_device(
       out_size: total output bytes.
 
     Returns a device (out_size,) uint8 array.  Raises ValueError when a
-    segment exceeds MAX_ROW_BYTES (caller falls back to the XLA path).
+    segment exceeds MAX_ROW_BYTES or the certified segment window cannot fit
+    VMEM at any chunk size (caller falls back to the XLA path).
     """
     counts = np.asarray(counts, np.int64)
     n_segs = counts.size
@@ -99,19 +108,31 @@ def compact_ranks_device(
 
     s_first_all, band = plan_tiles(counts, out_size)
 
-    # chunk the output; certify a shared segment-window size
-    n_chunks = _cdiv(out_size, CHUNK_OUT_BYTES)
+    # chunk the output; certify a shared segment-window size, shrinking the
+    # chunk until the window fits the VMEM budget (many tiny segments per
+    # output byte widen the window; halving keeps chunk sizes uniform so one
+    # kernel compile covers every full chunk)
+    chunk_bytes = CHUNK_OUT_BYTES
+    while True:
+        n_chunks = _cdiv(out_size, chunk_bytes)
+        sc0 = np.searchsorted(ends, np.arange(n_chunks) * chunk_bytes,
+                              side="right").astype(np.int64)
+        sc1 = np.searchsorted(
+            offs, np.minimum((np.arange(n_chunks) + 1) * chunk_bytes,
+                             out_size), side="left"
+        ).astype(np.int64)
+        s_cap = _round_up(int(np.max(sc1 - sc0)) + band, 8)
+        if s_cap <= _S_CAP_MAX or chunk_bytes <= TILE_BYTES:
+            break
+        chunk_bytes >>= 1
+    if s_cap > _S_CAP_MAX:
+        raise ValueError(
+            f"segment window {s_cap} exceeds the VMEM budget ({_S_CAP_MAX}); "
+            "use the XLA path"
+        )
     chunk_sizes = [
-        min(CHUNK_OUT_BYTES, out_size - c * CHUNK_OUT_BYTES)
-        for c in range(n_chunks)
+        min(chunk_bytes, out_size - c * chunk_bytes) for c in range(n_chunks)
     ]
-    sc0 = np.searchsorted(ends, np.arange(n_chunks) * CHUNK_OUT_BYTES,
-                          side="right").astype(np.int64)
-    sc1 = np.searchsorted(
-        offs, np.minimum((np.arange(n_chunks) + 1) * CHUNK_OUT_BYTES,
-                         out_size), side="left"
-    ).astype(np.int64)
-    s_cap = _round_up(int(np.max(sc1 - sc0)) + band, 8)
 
     rows = _rows_lsb(packed)  # (n_segs_p, out_rows)
     s_pad = _round_up(max(n_segs, 1), 8) + s_cap
@@ -130,7 +151,7 @@ def compact_ranks_device(
     pieces = []
     tile0 = 0
     for c in range(n_chunks):
-        cb = c * CHUNK_OUT_BYTES
+        cb = c * chunk_bytes
         n_tiles = _cdiv(chunk_sizes[c], TILE_BYTES)
         base = int(sc0[c])
         o_c = jnp.asarray(

@@ -55,6 +55,11 @@ def _decode_step(window, dec: DeviceDecTable, spec: DecSpec, method: str):
         # ptr_tab for its L2 subtable (width << 16 | offset) and the NEXT
         # `width` bits select within it
         p = spec.prefix_bits
+        if p <= 0 or dec.l1_sym.shape[0] != (1 << p):
+            raise ValueError(
+                "decode table lacks the two-level form; build it with "
+                "device_dec_table(table, two_level=True)"
+            )
         idx1 = (window >> jnp.uint32(32 - p)).astype(jnp.int32)
         s1, l1 = dec.l1_sym[idx1], dec.l1_len[idx1]
         is_long = idx1 >= spec.l1_boundary

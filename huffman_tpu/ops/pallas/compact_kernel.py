@@ -40,6 +40,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .ils_kernels import _lane_lookup
+
 __all__ = [
     "ragged_concat_pallas",
     "MAX_ROW_BYTES",
@@ -57,13 +59,6 @@ MAX_ROW_BYTES = 480
 
 def _cdiv(a, b):
     return -(-a // b)
-
-
-def _lane_lookup(tab_lo, tab_hi, idx):
-    """256-entry lane-table lookup of an (8, 128) int32 index in [0, 256)."""
-    low = jnp.take_along_axis(tab_lo, idx & 127, axis=1)
-    high = jnp.take_along_axis(tab_hi, idx & 127, axis=1)
-    return jnp.where(idx < 128, low, high)
 
 
 def _kernel(s0_ref, offs_ref, counts_ref, rows_ref, symlo_ref, symhi_ref,

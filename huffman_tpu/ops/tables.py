@@ -110,15 +110,38 @@ def dec_spec(table: CodeTable, lut_bits: int | None = None) -> DecSpec:
     )
 
 
-def device_dec_table(table: CodeTable, lut_bits: int | None = None) -> DeviceDecTable:
+def device_dec_table(
+    table: CodeTable,
+    lut_bits: int | None = None,
+    *,
+    two_level: bool = True,
+) -> DeviceDecTable:
+    """Build the device decode tables.
+
+    ``two_level=False`` skips the L1/L2 construction (a host loop plus five
+    device uploads) and stores 1-element pads instead — pass it on paths that
+    never select the "twolevel" decode method; `ops/decode.py` raises if the
+    twolevel step meets a padded table.
+    """
     b = int(lut_bits if lut_bits is not None else max(table.max_len_present, 1))
     lut_sym, lut_len = build_flat_lut(table, b)
     symtab = np.zeros(256, np.int32)
     symtab[: table.num_symbols] = table.symtab
-    two = build_two_level_table(table, _two_level_prefix(table))
 
     def pad1(a, dtype):  # gathers need >= 1 element
         return jnp.asarray(a.astype(dtype) if a.size else np.zeros(1, dtype))
+
+    if two_level:
+        two = build_two_level_table(table, _two_level_prefix(table))
+        l1_sym = jnp.asarray(two.l1_sym.astype(np.int32))
+        l1_len = jnp.asarray(two.l1_len.astype(np.int32))
+        ptr_tab = pad1(two.ptr_table, np.uint32)
+        l2_sym = pad1(two.l2_sym, np.int32)
+        l2_len = pad1(two.l2_len, np.int32)
+    else:
+        l1_sym = l1_len = jnp.zeros(1, jnp.int32)
+        ptr_tab = jnp.zeros(1, jnp.uint32)
+        l2_sym = l2_len = jnp.zeros(1, jnp.int32)
 
     return DeviceDecTable(
         lut_sym=jnp.asarray(lut_sym.astype(np.int32)),
@@ -127,9 +150,9 @@ def device_dec_table(table: CodeTable, lut_bits: int | None = None) -> DeviceDec
         offsets=jnp.asarray(table.offsets, jnp.int32),
         first_code=jnp.asarray(table.first_code, jnp.uint32),
         symtab=jnp.asarray(symtab),
-        l1_sym=jnp.asarray(two.l1_sym.astype(np.int32)),
-        l1_len=jnp.asarray(two.l1_len.astype(np.int32)),
-        ptr_tab=pad1(two.ptr_table, np.uint32),
-        l2_sym=pad1(two.l2_sym, np.int32),
-        l2_len=pad1(two.l2_len, np.int32),
+        l1_sym=l1_sym,
+        l1_len=l1_len,
+        ptr_tab=ptr_tab,
+        l2_sym=l2_sym,
+        l2_len=l2_len,
     )

@@ -13,10 +13,10 @@ from huffman_tpu.ops import compact as compact_mod
 from huffman_tpu.ops.compact import MAX_ROW_BYTES, compact_ranks_device
 
 
-def _pack_case(n_segs, max_count, seed, zero_frac=0.1):
+def _pack_case(n_segs, max_count, seed, zero_frac=0.1, min_count=0):
     """Random ragged segments -> (packed MSB-first ranks, counts, expect)."""
     rng = np.random.default_rng(seed)
-    counts = rng.integers(0, max_count + 1, n_segs)
+    counts = rng.integers(min_count, max_count + 1, n_segs)
     counts[rng.random(n_segs) < zero_frac] = 0
     segs = [rng.integers(0, 256, c).astype(np.uint8) for c in counts]
     ranks = np.concatenate(segs) if n_segs else np.zeros(0, np.uint8)
@@ -68,6 +68,34 @@ def test_compact_all_empty_and_single():
         jnp.asarray(packed), counts, symtab, expect.size, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+def test_compact_vmem_budget_shrinks_chunk(monkeypatch):
+    # a dense run of tiny segments would overflow VMEM at the default chunk
+    # size: the planner must halve the chunk until the segment window fits,
+    # preserving bit-exact output (VERDICT r2 review: unbounded s_cap)
+    monkeypatch.setattr(compact_mod, "CHUNK_OUT_BYTES", 1 << 14)
+    monkeypatch.setattr(compact_mod, "_S_CAP_MAX", 320)
+    # counts in [32, 96]: band <= ~136, so the 4 KiB-tile window fits 320,
+    # but a 16 KiB chunk's ~650-segment window does not -> forces the halving
+    packed, counts, symtab, expect = _pack_case(
+        400, 96, seed=21, zero_frac=0, min_count=32
+    )
+    out = compact_ranks_device(
+        jnp.asarray(packed), counts, symtab, expect.size, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+def test_compact_vmem_infeasible_raises(monkeypatch):
+    # even a single 4 KiB tile's band can exceed a (pathologically small)
+    # budget: the call must fail loudly, never emit a kernel that cannot fit
+    monkeypatch.setattr(compact_mod, "_S_CAP_MAX", 8)
+    packed, counts, symtab, expect = _pack_case(400, 6, seed=22, zero_frac=0)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        compact_ranks_device(
+            jnp.asarray(packed), counts, symtab, expect.size, interpret=True
+        )
 
 
 def test_compact_rejects_oversized_rows():
