@@ -229,7 +229,9 @@ def bench_block_methods(args, interpret):
 
     size = min(args.size // 8, args.yamamoto_cap)
     data = generate_redundant(size, args.redundancy, seed=3)
-    codec = GapArrayCodec.fit(data, block_bytes=size)
+    # method="twolevel" so codec.dec carries the L1/L2 form (the A/B below
+    # drives all three methods through the same table)
+    codec = GapArrayCodec.fit(data, block_bytes=size, method="twolevel")
     comp = codec.encode(data)
     words = jnp.asarray(
         np.concatenate([comp.block_words[0], np.zeros(1, np.uint32)])
