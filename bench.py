@@ -108,6 +108,12 @@ def main():
     from huffman_tpu.utils import generate_redundant
 
     log(f"devices: {jax.devices()}")
+    # off-TPU (CPU smoke tests) the kernels must run in interpret mode; the
+    # timings are then meaningless but the whole pipeline executes
+    interpret = jax.default_backend() != "tpu"
+    if interpret:
+        log("WARNING: non-TPU backend — interpret mode, timings are not "
+            "meaningful")
     if args.input:
         raw = np.fromfile(args.input, np.uint8)
         if raw.size == 0:
@@ -149,6 +155,7 @@ def main():
     payload_rows, row_starts, p = ils_encode_to_device(
         data_i32, codec.enc, k=k, avg_bits=codec._avg_bits(data),
         max_len=int(codec.table.max_len_present), rot=rot,
+        interpret=interpret,
     )
     log(f"encode wall (incl. compiles): {time.perf_counter() - t0:.1f}s")
     meta_bytes = 4 * p.n_tiles + 32
@@ -167,7 +174,8 @@ def main():
             out = ils_decode(payload_rows, row_starts, params, boffs, dec,
                              k=p.k, w_cap=p.w_cap, w_band=p.w_band,
                              max_len=maxlen, min_len=minlen,
-                             n_tiles=p.n_tiles, rot=p.rot, probe=probe)
+                             n_tiles=p.n_tiles, rot=p.rot, probe=probe,
+                             interpret=interpret)
             return jnp.all(out == data_i32)
         return verify
 
@@ -192,7 +200,7 @@ def main():
                 o = ils_decode(pr, row_starts, params, boffs, dec, k=p.k,
                                w_cap=p.w_cap, w_band=p.w_band, max_len=maxlen,
                                min_len=minlen, n_tiles=p.n_tiles, rot=p.rot,
-                               probe=probe)
+                               probe=probe, interpret=interpret)
                 return acc ^ o[0, 0, :8], pr
             acc, _ = jax.lax.fori_loop(
                 0, R, body, (jnp.zeros(8, jnp.int32), payload0))
@@ -228,7 +236,8 @@ def main():
         # trailing stride_rows of slack would read out of bounds
         pack_fn, path = None, "two-pass"
     pack_fn = pack_fn and functools.partial(
-        pack_fn, k=p.k, stride_rows=stride_rows, rot=rot, **eb
+        pack_fn, k=p.k, stride_rows=stride_rows, rot=rot,
+        interpret=interpret, **eb
     )
     if pack_fn is not None:
         # mirror the library's violation fallback: skewed data may force
@@ -248,13 +257,16 @@ def main():
                     pay_s, bits, dn, dx, viol = pack_fn(d, params, enc)
                     payload = ils_compact(
                         pay_s, row_starts, stride_rows=stride_rows,
-                        w_cap=p.w_cap, total_rows=p.total_rows)
+                        w_cap=p.w_cap, total_rows=p.total_rows,
+                        interpret=interpret)
                     acc = acc ^ payload[0, 0, :8] ^ bits[0, 0, :8] ^ viol[0, 0, :8]
                 else:
-                    bits = ils_lengths_pass(d, params, enc, k=p.k, rot=rot)[0]
+                    bits = ils_lengths_pass(d, params, enc, k=p.k, rot=rot,
+                                            interpret=interpret)[0]
                     payload = ils_pack(d, params, boffs, row_starts, enc,
                                        k=p.k, w_cap=p.w_cap, w_band=p.w_band,
-                                       total_rows=p.total_rows, rot=rot)
+                                       total_rows=p.total_rows, rot=rot,
+                                       interpret=interpret)
                     acc = acc ^ payload[0, 0, :8] ^ bits[0, 0, :8]
                 return acc, d
             acc, _ = jax.lax.fori_loop(

@@ -37,6 +37,11 @@ run bench_256m_r05 1800 python bench.py
 run bench_1g_r09 2400 python bench.py --size $((1<<30)) --redundancy 0.9
 run bench_1g_r01 2400 python bench.py --size $((1<<30)) --redundancy 0.1
 run bench_ratio 1800 python bench.py --size $((1<<26)) --redundancy 0.9 --optimize ratio
+# e-band A/B: at ratio-mode k the default 32-pair emission window violates on
+# skewed data (falls back to two-pass); a wider window keeps the 1-pass
+# streaming encode — measure whether 1-pass@wide beats the certified two-pass
+run bench_ratio_eb64 1800 python bench.py --size $((1<<26)) --redundancy 0.9 --optimize ratio --e-band 64
+run bench_ratio_eb96 1800 python bench.py --size $((1<<26)) --redundancy 0.9 --optimize ratio --e-band 96
 
 # 3. real heterogeneous file (lane-rotation A/B)
 if [ ! -f "$L/real.bin" ]; then
