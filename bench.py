@@ -153,7 +153,7 @@ def main():
     data_i32 = jnp.asarray(_as_tiles_i32(data, k))
     t0 = time.perf_counter()
     payload_rows, row_starts, p = ils_encode_to_device(
-        data_i32, codec.enc, k=k, avg_bits=codec._avg_bits(data),
+        data_i32, codec.enc, k=k, avg_bits=codec.fit_avg_bits,
         max_len=int(codec.table.max_len_present), rot=rot,
         interpret=interpret,
     )

@@ -106,12 +106,16 @@ class IlsCodec:
         # account for the zero padding encode() appends (worst case one tile)
         freqs[0] += 1
         table = canonical_code_table(package_merge_lengths(freqs, max_len), max_len)
+        avg = float(
+            (freqs * table.lengths.astype(np.int64)).sum() / max(freqs.sum(), 1)
+        )
         if k is None:
-            avg = float(
-                (freqs * table.lengths.astype(np.int64)).sum() / max(freqs.sum(), 1)
-            )
             k = pick_k(avg, optimize)
-        return cls(table, k=k, interpret=interpret, rotate=rotate)
+        codec = cls(table, k=k, interpret=interpret, rotate=rotate)
+        # cached mean code length over the fitted data — saves callers a
+        # second O(n) host histogram (`_avg_bits`) when encoding that data
+        codec.fit_avg_bits = avg
+        return codec
 
     # ------------------------------------------------------------------
     def _avg_bits(self, data: np.ndarray) -> float:
