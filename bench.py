@@ -87,12 +87,13 @@ def main():
     ap.add_argument("--e-band", type=int, default=None,
                     help="fused-pack emission band override (A/B: the "
                          "banded RMW write dominates pack cost)")
-    ap.add_argument("--no-rotate", action="store_true",
-                    help="disable the lane-decorrelation rotation "
-                         "(the library default is ON)")
+    ap.add_argument("--rotate", choices=["auto", "on", "off"], default="auto",
+                    help="lane-decorrelation rotation (library default is "
+                         "auto: on per section only when it narrows the "
+                         "certified band)")
     ap.add_argument("--reps", type=int, default=16)
     args = ap.parse_args()
-    rot = not args.no_rotate
+    rot = {"auto": "auto", "on": True, "off": False}[args.rotate]
 
     import jax
     import jax.numpy as jnp
@@ -158,6 +159,8 @@ def main():
         interpret=interpret,
     )
     log(f"encode wall (incl. compiles): {time.perf_counter() - t0:.1f}s")
+    log(f"rotation: requested={args.rotate} resolved={p.rot}")
+    rot = p.rot  # timed encode kernels must mirror the resolved decision
     meta_bytes = 4 * p.n_tiles + 32
     ratio = (p.total_rows * 4096 + meta_bytes + 2 * codec.table.num_symbols + 16) / size
     log(f"w_band={p.w_band} w_cap={p.w_cap} compressed ratio={ratio * 100:.2f}%")

@@ -44,9 +44,10 @@ def _add_codec_args(p):
         help="htc1 decode inner-step implementation",
     )
     p.add_argument(
-        "--no-rotate", action="store_true",
-        help="disable the ILS lane-decorrelation rotation (writes a v3 "
-             "container readable by older decoders)",
+        "--rotate", choices=["auto", "on", "off"], default="auto",
+        help="ILS lane-decorrelation rotation: auto (default) turns it on "
+             "per section only when it narrows the certified band; off "
+             "writes a v3 container readable by older decoders",
     )
 
 
@@ -89,7 +90,9 @@ def _make_codec(args, data):
         return IlsCodec.fit(
             data, max_len=args.max_len, k=args.k,
             optimize=getattr(args, "optimize", "speed"),
-            rotate=not getattr(args, "no_rotate", False),
+            rotate={"auto": "auto", "on": True, "off": False}[
+                getattr(args, "rotate", "auto")
+            ],
         )
     from .models import GapArrayCodec
 

@@ -98,8 +98,17 @@ ILS_WIN = 64
 # (lane - r*ROT_LANE) % 128) of the row, so any content period folds across
 # many streams.  The decoder applies the inverse rotation to each decoded
 # word row, preserving decoded-output-is-the-data.  The constants are part
-# of the format: ROT_SUB is coprime to 8 and ROT_LANE to 128, so offsets
-# cycle through all 8 sublane and 128 lane phases.
+# of the format (recorded in the ILS1 section flags so a reader rejects a
+# mismatched layout): ROT_SUB is coprime to 8 and ROT_LANE to 128, so the
+# offsets cycle through all 1024 torus phases — full-period folding is
+# required (measured on a 64 MB tarball: lane period 128 narrows the band
+# 96 -> 32 pairs and lifts decode 25 -> 40 GB/s; a 16-phase lane constant
+# only reached 64, and sub-only rotation not at all).  The rolls are NOT
+# free: two dynamic cross-lane permutes per row cost ~10-15% of decode and
+# ~27% of pack on v5e (static-phase permutes measured no cheaper), so the
+# encoder chooses rotation PER SECTION at encode time (`ops/ils.py`
+# rot="auto"): on only when it actually narrows the certified band, off on
+# content that is already lane-uncorrelated.
 ILS_ROT_SUB = 3
 ILS_ROT_LANE = 5
 

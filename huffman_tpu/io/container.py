@@ -178,9 +178,12 @@ def read_container(buf: bytes) -> Compressed:
 #                           in word pairs, streams padded to even words;
 #                           v3 = band anchors per ILS_WIN-body window:
 #                           boffs is n_tiles * n_win(k) entries;
-#                           v4 = per-section flags word, bit0 = lane
-#                           rotation, core/ils_ref.py::ILS_ROT_*; a v3
-#                           reader must not decode a rotated section)
+#                           v4 = per-section flags word: bit0 = lane
+#                           rotation, bits 8-11 = ILS_ROT_SUB and bits
+#                           12-19 = ILS_ROT_LANE when bit0 is set (the
+#                           rotation constants are format parameters; a
+#                           reader whose layout differs must reject, and
+#                           a v3 reader must not decode a rotated section)
 #   max_len        u8
 #   n_sym          u16
 #   original_size  u64
@@ -240,11 +243,15 @@ def write_ils_container(comp) -> bytes:
         ),
         _table_entries(comp.table).tobytes(),
     ]
+    from ..core.ils_ref import ILS_ROT_LANE, ILS_ROT_SUB
+
+    rot_flags = 1 | (ILS_ROT_SUB << 8) | (ILS_ROT_LANE << 12)
     for sec in comp.sections:
         p = sec.params
         parts.append(
             _ILS_SECTION.pack(
-                p.k, p.snum, int(bool(p.rot)), p.w_band, p.w_cap, p.n_tiles
+                p.k, p.snum, rot_flags if p.rot else 0, p.w_band, p.w_cap,
+                p.n_tiles
             )
         )
         parts.append(p.w_tiles.astype(np.uint32).tobytes())
@@ -254,7 +261,13 @@ def write_ils_container(comp) -> bytes:
 
 
 def read_ils_container(buf: bytes):
-    from ..core.ils_ref import ILS_LANES, IlsParams, ils_n_win
+    from ..core.ils_ref import (
+        ILS_LANES,
+        ILS_ROT_LANE,
+        ILS_ROT_SUB,
+        IlsParams,
+        ils_n_win,
+    )
     from ..models.ils_codec import IlsCompressed
     from ..ops.ils import IlsSection
 
@@ -279,11 +292,20 @@ def read_ils_container(buf: bytes):
         k, snum, flags, w_band, w_cap, n_tiles = _ILS_SECTION.unpack_from(
             mv, off
         )
-        if flags & ~1 or (version == 3 and flags):
-            # the flags word is defined (and rotation legal) only from v4;
-            # v3 reserves it as zero — rejecting here catches a metadata
-            # bit flip the payload CRC cannot see
+        rot_flags = 1 | (ILS_ROT_SUB << 8) | (ILS_ROT_LANE << 12)
+        if version == 3 and flags:
+            # v3 reserves the flags word as zero — rejecting here catches a
+            # metadata bit flip the payload CRC cannot see
             raise ValueError(f"unknown ILS section flags {flags:#x}")
+        if version >= 4 and flags not in (0, rot_flags):
+            # rotated sections record their rotation constants; a layout
+            # this library's kernels don't implement must be rejected, not
+            # silently mis-decoded
+            raise ValueError(
+                f"unsupported ILS section flags {flags:#x} (this reader "
+                f"implements rotation constants sub={ILS_ROT_SUB}, "
+                f"lane={ILS_ROT_LANE})"
+            )
         off += _ILS_SECTION.size
         w_tiles = np.frombuffer(mv, np.uint32, n_tiles, off).astype(np.int32)
         off += 4 * n_tiles

@@ -72,7 +72,7 @@ class IlsCodec:
 
     def __init__(self, table: CodeTable, *, k: int | None = None,
                  optimize: str = "speed", interpret: bool | None = None,
-                 rotate: bool = True):
+                 rotate: bool | str = "auto"):
         import jax
 
         self.table = table
@@ -84,10 +84,13 @@ class IlsCodec:
             jax.default_backend() != "tpu" if interpret is None else interpret
         )
         self.k = int(k) if k else pick_k(8.0, optimize)
-        # lane-decorrelation rotation (container v4): on by default — it
-        # costs two VPU rolls per row and protects real files whose content
-        # is periodic in the 4 KB lane stride; decode follows the container.
-        self.rotate = bool(rotate)
+        # lane-decorrelation rotation (container v4): "auto" (the default)
+        # decides per section from the measured schedule envelope — the two
+        # VPU rolls per row cost ~10-15% of decode / ~27% of pack, so
+        # rotation turns on only when it narrows the certified band (content
+        # periodic in the 4 KB lane stride; see `ops/ils.py::AUTO_ROT_BAND`).
+        # Decode always follows the container.
+        self.rotate = rotate if rotate == "auto" else bool(rotate)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -99,7 +102,7 @@ class IlsCodec:
         k: int | None = None,
         optimize: str = "speed",
         interpret: bool | None = None,
-        rotate: bool = True,
+        rotate: bool | str = "auto",
     ) -> "IlsCodec":
         data = np.asarray(data, np.uint8)
         freqs = npref.histogram(data)

@@ -74,6 +74,18 @@ FUSED_STRIDE_BUDGET = 2048
 # exercise the sliding window at small k)
 _STREAM_CHUNK_CAP = CHUNK_I
 
+def auto_rot_band(k: int) -> int:
+    """rot="auto": bands at or under this many pairs never re-encode with
+    rotation — the rotation rolls cost ~10-15% of decode and ~27% of pack
+    on v5e, which one band bucket of narrowing does not repay.  Wider bands
+    mean lane-correlated content (measured at k=4096: a 64 MB tarball
+    certifies w_band=96 unrotated but 32 rotated, decoding 25 vs 40 GB/s),
+    so the encoder retries rotated and keeps whichever band is strictly
+    narrower.  The schedule deviation of lane-UNcorrelated content grows
+    ~sqrt(k) (a random walk over the stream), so the suspicion threshold
+    scales the same way from the measured k=4096 anchor of 32 pairs."""
+    return max(round_band(int(32 * (k / 4096) ** 0.5)), 8)
+
 
 class IlsVmemError(ValueError):
     """Tile shape would exceed the VMEM budget; retry with a smaller k."""
@@ -182,7 +194,7 @@ def ils_encode_to_device(
     k: int,
     avg_bits: float,
     max_len: int | None = None,
-    rot: bool = False,
+    rot: bool | str = False,
     interpret: bool = False,
 ):
     """Device-resident encode: returns (payload_rows, row_starts_dev, params).
@@ -196,7 +208,28 @@ def ils_encode_to_device(
     Falls back to the two-pass path (schedule pass, then banded pack) when
     the worst-case stride exceeds VMEM or when any tile's emissions leave
     the fused path's estimated band (flagged exactly; see FUSED_E_BAND).
+
+    ``rot="auto"`` (the library default) chooses the lane-decorrelation
+    rotation per section from the measured schedule envelope: encode
+    unrotated first; if the certified band exceeds ``auto_rot_band(k)``
+    (the signature of lane-correlated content), re-encode rotated and keep
+    whichever band is strictly narrower.  Homogeneous data pays no rotation
+    tax; periodic real files get the 96->32 band narrowing that rotation
+    exists for (`core/ils_ref.py::ILS_ROT_SUB`).
     """
+    if rot == "auto":
+        res_plain = ils_encode_to_device(
+            data_i32, enc, k=k, avg_bits=avg_bits, max_len=max_len,
+            rot=False, interpret=interpret,
+        )
+        if res_plain[2].w_band <= auto_rot_band(k):
+            return res_plain
+        res_rot = ils_encode_to_device(
+            data_i32, enc, k=k, avg_bits=avg_bits, max_len=max_len,
+            rot=True, interpret=interpret,
+        )
+        return res_rot if res_rot[2].w_band < res_plain[2].w_band else res_plain
+
     n_tiles = data_i32.shape[0] // (k // 4)
     snum = ils_schedule_numer(avg_bits)
     params_j = jnp.asarray(np.array([snum, 0], np.int32))
@@ -293,7 +326,7 @@ def ils_encode_device(
     *,
     k: int,
     avg_bits: float,
-    rot: bool = False,
+    rot: bool | str = False,
     interpret: bool = False,
 ) -> IlsSection:
     """Encode flat bytes (size must be a multiple of k*1024) into one section.

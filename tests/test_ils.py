@@ -429,8 +429,9 @@ def test_container_detects_corruption():
 
 def test_container_version_follows_rotation():
     # rotate=False keeps writing v3 (older readers stay compatible);
-    # rotate=True (the default) requires v4 so a v3 reader rejects it
-    # rather than silently mis-decoding a rotated layout
+    # rotate=True requires v4 so a v3 reader rejects it rather than
+    # silently mis-decoding a rotated layout (the default "auto" writes
+    # whichever version matches its per-section decision)
     k = 8
     data = generate_redundant(k * ILS_LANES, 0.5, seed=13)
     for rotate, version in ((False, 3), (True, 4)):
@@ -488,6 +489,29 @@ def test_rotation_decorrelates_periodic_content():
     assert np.array_equal(
         ils_decode_device(sec, table, dec, interpret=True), data
     )
+
+
+def test_auto_rotation_follows_content():
+    # rotate="auto" (the library default) pays the rotation rolls only when
+    # they buy band narrowing: lane-periodic content (the test above) must
+    # come out rotated, generic content unrotated (ops/ils.py::auto_rot_band)
+    k = 64
+    n = 2 * k * ILS_LANES
+    period = np.frombuffer(np.random.default_rng(0).bytes(4096), np.uint8)
+    period = period.copy()
+    period.reshape(8, 512)[::2] = 0
+    periodic = np.tile(period, n // 4096)
+    generic = generate_redundant(n, 0.5, seed=3)
+    for data, want_rot in ((periodic, True), (generic, False)):
+        codec = IlsCodec.fit(data, k=k, interpret=True)  # rotate="auto"
+        comp = codec.encode(data)
+        assert [s.params.rot for s in comp.sections] == [want_rot]
+        # the auto decision matches what an explicit encode certifies
+        forced = IlsCodec.fit(data, k=k, interpret=True, rotate=not want_rot)
+        fband = forced.encode(data).sections[0].params.w_band
+        ours = comp.sections[0].params.w_band
+        assert (ours < fband) if want_rot else (ours <= fband)
+        assert np.array_equal(codec.decode(comp), data)
 
 
 def test_codec_multi_section(monkeypatch):

@@ -67,7 +67,7 @@ def test_ils_sharded_decode_matches_codec():
         w_band=p.w_band,
         max_len=max(codec.table.max_len_present, 1),
         tiles_per_device=tpd,
-        rot=p.rot,  # the codec encodes with lane rotation by default
+        rot=p.rot,  # follow the container's per-section rotation decision
         interpret=True,
     )
     params = jnp.asarray(np.array([p.snum, 0], np.int32))

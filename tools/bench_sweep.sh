@@ -57,7 +57,7 @@ reps = -(-(64 << 20) // len(raw))
 EOF
 fi
 run bench_real_rot 1800 python bench.py --input "$L/real.bin"
-run bench_real_norot 1800 python bench.py --input "$L/real.bin" --no-rotate
+run bench_real_norot 1800 python bench.py --input "$L/real.bin" --rotate off
 
 # 4. secondary paths (gap-pallas, selfsync, yamamoto, method A/B)
 run secondary 3600 python tools/secondary_bench.py

@@ -32,7 +32,7 @@ reps = -(-(64 << 20) // len(raw))
 EOF
 fi
 run bench_real_rot 900 python bench.py --input "$L/real.bin"
-run bench_real_norot 900 python bench.py --input "$L/real.bin" --no-rotate
+run bench_real_norot 900 python bench.py --input "$L/real.bin" --rotate off
 
 # 4. ratio-mode e-band A/B (streaming 1-pass vs certified 2-pass at k=16384)
 run bench_ratio 900 python bench.py --size $((1<<26)) --redundancy 0.9 --optimize ratio

@@ -82,7 +82,7 @@ def one_case(i, rng, interpret):
     from huffman_tpu.ops.pallas.ils_kernels import ils_enc_tabs
 
     kind, data, k, max_len = gen_case(rng)
-    rot = bool(rng.integers(2))
+    rot = [False, True, "auto"][int(rng.integers(3))]
     freqs = npref.histogram(data)
     if int(np.count_nonzero(freqs)) > (1 << max_len):
         max_len = 16
@@ -101,15 +101,19 @@ def one_case(i, rng, interpret):
     if n_full:
         chunk = data[:n_full]
         table = codec.table
-        payload_np, params_np = ils_encode_np(chunk, table, k, rot=rot)
-        assert np.array_equal(
-            ils_decode_np(payload_np, params_np, table), chunk
-        ), "oracle roundtrip mismatch"
         sec = ils_encode_device(
             chunk, table, ils_enc_tabs(table), k=k,
             avg_bits=float(table.lengths.astype(np.int64)[chunk].mean()),
             rot=rot, interpret=interpret,
         )
+        # rot="auto" resolves per content; the oracle must mirror the
+        # kernels' certified decision to compare payloads bit-for-bit
+        payload_np, params_np = ils_encode_np(
+            chunk, table, k, rot=sec.params.rot
+        )
+        assert np.array_equal(
+            ils_decode_np(payload_np, params_np, table), chunk
+        ), "oracle roundtrip mismatch"
         assert np.array_equal(sec.payload, payload_np), "payload != oracle"
         assert np.array_equal(sec.params.w_tiles, params_np.w_tiles)
         assert np.array_equal(sec.params.boffs, params_np.boffs)
