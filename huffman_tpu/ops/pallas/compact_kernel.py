@@ -65,7 +65,10 @@ def _kernel(s0_ref, offs_ref, counts_ref, rows_ref, symlo_ref, symhi_ref,
             out_ref, *, band):
     i = pl.program_id(0)
     k0 = i * TILE_BYTES  # tile base byte (relative to this chunk)
-    s0 = s0_ref[0, 0]
+    # s0 lives whole in SMEM (n_tiles <= 512 per chunk, 2 KB): Mosaic
+    # rejects sub-(8,128) *blocked* specs, so the kernel indexes the full
+    # array by grid position instead of block-slicing it
+    s0 = s0_ref[i, 0]
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
     u32 = jnp.uint32
 
@@ -150,7 +153,8 @@ def ragged_concat_pallas(
         kern,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(s0.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(rows.shape[:1] + (1,), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(rows.shape[:1] + (1,), lambda i: (0, 0),
