@@ -215,7 +215,7 @@ def main():
     # live span does (ratio-mode k), the certified two-pass otherwise
     import functools
 
-    from huffman_tpu.ops.ils import FUSED_STRIDE_BUDGET
+    from huffman_tpu.ops.ils import FUSED_STRIDE_BUDGET, fused_e_band
     from huffman_tpu.ops.pallas.ils_kernels import (
         ils_compact,
         ils_pack_certify,
@@ -224,7 +224,7 @@ def main():
     )
 
     stride_rows = max(2 * (-(-p.k * maxlen // 64)), 4)
-    eb = {} if args.e_band is None else {"e_band": args.e_band}
+    eb = {"e_band": fused_e_band(p.k) if args.e_band is None else args.e_band}
     if stride_rows <= FUSED_STRIDE_BUDGET:
         pack_fn, path = ils_pack_certify, "fused 1-pass"
     else:
@@ -282,7 +282,10 @@ def main():
     # 64 MB reference point keeps reps=args.reps)
     reps = min(args.reps * max((1 << 26) // main_bytes, 1), 512)
     # A/B the LUT-probe symbol step: pure probe at max_len <= 8, hybrid
-    # (probe + masked levels>=9 chain) for long-code tables
+    # (probe + masked levels>=9 chain) for long-code tables.  Measured
+    # rejected at every max_len (docs/PERF.md §2: the probe's permute sits
+    # on the serial window chain) — the library decodes canonical; the
+    # probe stays in the A/B so regressions in either path surface.
     dec_makers = {
         "canonical": mk_decode,
         "probe": functools.partial(mk_decode, probe=True),
@@ -290,9 +293,8 @@ def main():
     t_decs = measure_chained_multi(
         dec_makers, max(reps // 4, 1), reps, payload_rows
     )
-    # the headline is the LIBRARY's path (codec auto-selects the pure probe
-    # at max_len <= 8; the hybrid stays an A/B candidate until measured)
-    t_dec = t_decs["probe" if maxlen <= 8 else "canonical"]
+    # the headline is the LIBRARY's path (canonical at every max_len)
+    t_dec = t_decs["canonical"]
     dec_gbps = main_bytes / t_dec / 1e9
     probe_gbps = None
     for name, t in sorted(t_decs.items()):

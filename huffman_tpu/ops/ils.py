@@ -26,6 +26,7 @@ from ..core.ils_ref import (
 )
 from .pallas.ils_kernels import (
     CHUNK_I,
+    FUSED_E_BAND,
     IlsDecTabs,
     IlsEncTabs,
     ils_compact,
@@ -73,6 +74,19 @@ FUSED_STRIDE_BUDGET = 2048
 # bodies per grid chunk for the streaming pack (tests shrink this to
 # exercise the sliding window at small k)
 _STREAM_CHUNK_CAP = CHUNK_I
+
+def fused_e_band(k: int) -> int:
+    """Emission-band width for the fused certify+pack passes.
+
+    With laggard-anchored emission windows the band only has to cover the
+    CROSS-LANE emission spread (common-mode drift is followed, not
+    predicted), which grows ~sqrt(k) like the decode band; the k=4096
+    anchor of 32 pairs is measured (BASELINE.md).  Wider bands slow the
+    banded RMW write (~60% of pack cost scales with it), so the scale stays
+    as tight as the spread allows — the violation flag still catches any
+    pathological section and falls back to the exact two-pass path."""
+    return max(FUSED_E_BAND, round_band(int(32 * (k / 4096) ** 0.5)))
+
 
 def auto_rot_band(k: int) -> int:
     """rot="auto": bands at or under this many pairs never re-encode with
@@ -269,7 +283,9 @@ def ils_encode_to_device(
         # worst-case stride exceeds the pack scratch (k=8192/16384 ratio
         # mode): the streaming variant holds only the live emission span
         # in VMEM and ships fixed-size windows per chunk
-        span = ils_stream_span_rows(k, stride_rows, chunk_cap=_STREAM_CHUNK_CAP)
+        span = ils_stream_span_rows(
+            k, stride_rows, fused_e_band(k), chunk_cap=_STREAM_CHUNK_CAP
+        )
         if span is not None and span <= FUSED_STRIDE_BUDGET:
             fused = functools.partial(
                 ils_pack_certify_stream, chunk_cap=_STREAM_CHUNK_CAP
@@ -277,7 +293,7 @@ def ils_encode_to_device(
     if fused is not None:
         pay_s, bits, dn, dx, viol = fused(
             data_i32, params_j, enc, k=k, stride_rows=stride_rows,
-            rot=rot, interpret=interpret,
+            e_band=fused_e_band(k), rot=rot, interpret=interpret,
         )
         if not int(jnp.max(viol)):
             params = finish(bits, dn, dx)
@@ -361,12 +377,16 @@ def ils_decode_device(
 ) -> np.ndarray:
     """Decode one section back to flat bytes (n_tiles * k * 1024 of them).
 
-    ``probe`` selects the 256-entry LUT-probe symbol step (None: auto when
-    the table's longest code fits 8 bits — there one lane lookup replaces
-    the canonical compare chain)."""
+    ``probe`` opts into the 256-entry LUT-probe symbol step.  Measured OFF
+    by default at every max_len (v5e, interleaved A/B: 10.9 vs 86.4 GB/s at
+    max_len=8, 10.5 vs 47.1 at max_len=16): the probe derives the code
+    LENGTH from a cross-lane permute, putting the permute's latency on the
+    serial window-update chain, while the canonical compare chain computes
+    the length in cheap register ALU and keeps all permutes (symbol lookup)
+    off the critical path.  See docs/PERF.md §2."""
     p = section.params
     if probe is None:
-        probe = 0 < table.max_len_present <= 8
+        probe = False
     if not (1 <= p.w_band <= p.w_cap // 2):
         # our encoder guarantees this (finish() widens w_cap); a foreign or
         # corrupted container must not drive the kernel out of its scratch

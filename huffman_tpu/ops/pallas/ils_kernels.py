@@ -623,7 +623,6 @@ def _pack_certify_kernel(
     shape = (SUBLANES, LANES)
     u32 = jnp.uint32
     cap_pairs = stride_rows // 2
-    boff_est = -(e_band // 2)
 
     U = _unroll(iters, e_band, interpret)
     G = flush_g if flush_g and U % flush_g == 0 else (2 if U % 2 == 0 else 1)
@@ -631,6 +630,15 @@ def _pack_certify_kernel(
     iota_pairs = jax.lax.broadcasted_iota(
         jnp.int32, (W, 1, SUBLANES, LANES), 0
     )
+
+    def _win_base(e_ptr):
+        # anchor the emission window at the LAGGARD stream's write position
+        # (was: mu + static offset).  Every emission lands at rel >= 0 by
+        # construction, so the violation flag now means exactly "cross-lane
+        # emission spread exceeds W" — common-mode schedule drift through
+        # heterogeneous content can no longer void the fused pass, only
+        # genuine lane decorrelation width can (which rotation narrows).
+        return jnp.clip(jnp.min(e_ptr), 0, cap_pairs - W)
 
     @pl.when(c_idx == 0)
     def _init():
@@ -694,7 +702,7 @@ def _pack_certify_kernel(
         for g in range(U // G):
             i = U * jj + G * g
             gi0 = c_idx * iters + i
-            base = _mu_base(gi0, params_ref[0], boff_est, cap_pairs, W)
+            base = _win_base(e_ptr)
             for b in range(G):
                 w = data_ref[i + b]
                 if rot:
@@ -740,8 +748,9 @@ def _pack_certify_kernel(
     @pl.when(c_idx == n_chunks - 1)
     def _fini():
         bits_ref[0] = 64 * e_ptr + used
-        base = _mu_base(k // 4 - 1, params_ref[0], boff_est, cap_pairs, W)
-        _, _, _, viol2 = flush2(a, used, e_ptr, base, viol, final=True)
+        _, _, _, viol2 = flush2(
+            a, used, e_ptr, _win_base(e_ptr), viol, final=True
+        )
         viol_ref[0] = viol2
         dma = pltpu.make_async_copy(
             pay, out_pay.at[pl.ds(t * stride_rows, stride_rows)], sem
@@ -854,23 +863,25 @@ def _pack_certify_stream_kernel(
     reference encoder is likewise single-pass over data per phase,
     `Huffman_coding_Gap_arrays/encoder/src/encoder.cu:142-355`).
 
-    Addressing: ``floor_c = clip(mu(c*iters) + boff_est, 0, cap - W)`` pairs
-    are final before chunk c (every later flush base is >= floor_c by the
-    monotonicity of the clip), so scratch row 0 maps to pair floor_c.  At
-    each chunk end a FIXED 2*iters-row DMA ships [floor_c, floor_c + iters)
-    to the strided HBM region — chunks overlap and a later chunk's DMA
-    rewrites any not-yet-final rows a previous one shipped, so the final
-    HBM content is complete; the last chunk ships the whole remaining span.
-    The live tail then shifts to row 0 and the vacated rows are re-zeroed
-    (in-band never-written lane slots must stay zero for bit-exactness with
-    the oracle payload)."""
+    Addressing: ``floor_c`` (carried in scratch) is the emission-window
+    floor at chunk entry — the laggard stream's write position, clipped to
+    [0, cap - W]; every later flush base is >= floor_c because per-lane
+    write positions only advance — so scratch row 0 maps to pair floor_c.
+    At each chunk end a FIXED 2*iters-row DMA ships [floor_c, floor_c +
+    iters) to the strided HBM region — chunks overlap and a later chunk's
+    DMA rewrites any not-yet-final rows a previous one shipped, so the
+    final HBM content is complete; the last chunk ships the whole remaining
+    span.  (The floor advances at most iters/2 pairs per chunk — 4 symbols
+    of <= 16 bits per body — so the fixed ship always covers it.)  The live
+    tail then shifts to row 0 and the vacated rows are re-zeroed (in-band
+    never-written lane slots must stay zero for bit-exactness with the
+    oracle payload)."""
     t = pl.program_id(0)
     c_idx = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     shape = (SUBLANES, LANES)
     u32 = jnp.uint32
     cap_pairs = stride_rows // 2
-    boff_est = -(e_band // 2)
     span_rows = 2 * span_pairs
 
     U = _unroll(iters, e_band, interpret)
@@ -881,11 +892,10 @@ def _pack_certify_stream_kernel(
         jnp.int32, (W, 1, SUBLANES, LANES), 0
     )
 
-    def _floor(c):
-        mu_c = (c * iters * params_ref[0]) >> 16
-        return jnp.clip(mu_c + boff_est, 0, cap_pairs - W)
-
-    floor_c = _floor(c_idx)
+    def _win_base(e_ptr):
+        # laggard-anchored emission window (see `_pack_certify_kernel`):
+        # monotone >= the chunk-entry floor, so brel stays non-negative
+        return jnp.clip(jnp.min(e_ptr), 0, cap_pairs - W)
 
     @pl.when(c_idx == 0)
     def _init():
@@ -897,8 +907,11 @@ def _pack_certify_stream_kernel(
         carry[8] = jnp.full(shape, 128, jnp.int32)  # dec sim: valid
         carry[9] = jnp.full(shape, 2, jnp.int32)    # dec sim: pptr
         carry[10] = jnp.zeros(shape, jnp.int32)  # emission violation
+        carry[11] = jnp.zeros(shape, jnp.int32)  # window floor (scalar bcast)
         dnmin_ref[0] = jnp.full((n_win,) + shape, _BIG, jnp.int32)
         dnmax_ref[0] = jnp.full((n_win,) + shape, -_BIG, jnp.int32)
+
+    floor_c = carry[11][0, 0]
 
     def flush2(a, used, e_ptr, base, viol, final=False):
         e1 = used > 0 if final else used >= 64
@@ -945,7 +958,7 @@ def _pack_certify_stream_kernel(
         for g in range(U // G):
             i = U * jj + G * g
             gi0 = c_idx * iters + i
-            base = _mu_base(gi0, params_ref[0], boff_est, cap_pairs, W)
+            base = _win_base(e_ptr)
             for b in range(G):
                 w = data_ref[i + b]
                 if rot:
@@ -989,8 +1002,9 @@ def _pack_certify_stream_kernel(
     @pl.when(c_idx == n_chunks - 1)
     def _fini():
         bits_ref[0] = 64 * e_ptr + used
-        base = _mu_base(k // 4 - 1, params_ref[0], boff_est, cap_pairs, W)
-        _, _, _, viol2 = flush2(a, used, e_ptr, base, viol, final=True)
+        _, _, _, viol2 = flush2(
+            a, used, e_ptr, _win_base(e_ptr), viol, final=True
+        )
         viol_ref[0] = viol2
         # ship the whole remaining live span
         dma = pltpu.make_async_copy(
@@ -1015,7 +1029,9 @@ def _pack_certify_stream_kernel(
         dma.start()
         dma.wait()
         # slide the live tail to row 0 and re-zero the vacated span
-        shift = 2 * (_floor(c_idx + 1) - floor_c)
+        floor_next = _win_base(e_ptr)
+        carry[11] = jnp.full(shape, floor_next)
+        shift = 2 * (floor_next - floor_c)
         tail = pay[pl.ds(shift, tail_rows)]
         pay[pl.ds(0, tail_rows)] = tail
         pay[pl.ds(tail_rows, span_rows - tail_rows)] = jnp.zeros(
@@ -1120,7 +1136,7 @@ def ils_pack_certify_stream(
         ],
         scratch_shapes=[
             pltpu.VMEM((span_rows, SUBLANES, LANES), jnp.int32),
-            pltpu.VMEM((11, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((12, SUBLANES, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

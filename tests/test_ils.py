@@ -219,11 +219,16 @@ def test_probe_decode_matches_oracle(lazy):
         lazy=lazy, interpret=True,
     )
     assert np.array_equal(np.asarray(out), np.asarray(data_i32))
-    # and the codec path auto-selects the probe for such tables
+    # the codec path keeps the measured-faster canonical step (docs/PERF.md
+    # §2: the probe is bit-exact but 8x slower — its permute lands on the
+    # serial window chain) while the probe stays a correct opt-in
     sec = ils_encode_device(
         data, table, enc, k=k, avg_bits=avg, rot=True, interpret=True
     )
     assert np.array_equal(ils_decode_device(sec, table, dec, interpret=True), data)
+    assert np.array_equal(
+        ils_decode_device(sec, table, dec, probe=True, interpret=True), data
+    )
 
 
 @pytest.mark.parametrize("r", [0.5, 0.9])
