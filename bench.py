@@ -165,28 +165,30 @@ def main():
     ratio = (p.total_rows * 4096 + meta_bytes + 2 * codec.table.num_symbols + 16) / size
     log(f"w_band={p.w_band} w_cap={p.w_cap} compressed ratio={ratio * 100:.2f}%")
 
+    from huffman_tpu.core.canonical import chain_spec
+
     params = jnp.asarray(np.array([p.snum, 0], np.int32))
     boffs = jnp.asarray(p.boffs, jnp.int32)
     maxlen = max(codec.table.max_len_present, 1)
     minlen = max(codec.table.min_len, 1)
+    chain = chain_spec(codec.table)  # the library's decode path
     dec, enc = codec.dec, codec.enc
 
-    def mk_verify(probe):
+    def mk_verify(probe, ch=None):
         @jax.jit
         def verify(payload_rows, row_starts, params, data_i32):
             out = ils_decode(payload_rows, row_starts, params, boffs, dec,
                              k=p.k, w_cap=p.w_cap, w_band=p.w_band,
                              max_len=maxlen, min_len=minlen,
                              n_tiles=p.n_tiles, rot=p.rot, probe=probe,
-                             interpret=interpret)
+                             chain=ch, interpret=interpret)
             return jnp.all(out == data_i32)
         return verify
 
-    # both decode variants are timed below, so both must verify on device
-    # (the headline may be the probe path for max_len <= 8 tables)
+    # every decode variant timed below must verify on device first
     ok = all(
-        bool(mk_verify(pr)(payload_rows, row_starts, params, data_i32))
-        for pr in (False, True)
+        bool(mk_verify(pr, ch)(payload_rows, row_starts, params, data_i32))
+        for pr, ch in ((False, chain), (False, None), (True, None))
     )
     log(f"verification (on-device, canonical+probe): {'PASS' if ok else 'FAIL'}")
     if not ok:
@@ -194,7 +196,7 @@ def main():
                           "unit": "GB/s", "vs_baseline": 0.0}))
         sys.exit(1)
 
-    def mk_decode(R, probe=False):
+    def mk_decode(R, probe=False, ch=None):
         @jax.jit
         def f(payload0):
             def body(i, carry):
@@ -203,7 +205,7 @@ def main():
                 o = ils_decode(pr, row_starts, params, boffs, dec, k=p.k,
                                w_cap=p.w_cap, w_band=p.w_band, max_len=maxlen,
                                min_len=minlen, n_tiles=p.n_tiles, rot=p.rot,
-                               probe=probe, interpret=interpret)
+                               probe=probe, chain=ch, interpret=interpret)
                 return acc ^ o[0, 0, :8], pr
             acc, _ = jax.lax.fori_loop(
                 0, R, body, (jnp.zeros(8, jnp.int32), payload0))
@@ -243,10 +245,14 @@ def main():
         interpret=interpret, **eb
     )
     if pack_fn is not None:
-        # mirror the library's violation fallback: skewed data may force
-        # the two-pass path even when the stride fits
-        viol0 = pack_fn(data_i32, params, enc)[4]
-        if int(jnp.max(viol0)):
+        # mirror the library's tiered anchors + violation fallback
+        # (ops/ils.py): "mu" first, "laggard" on violation, two-pass last
+        for anchor in ("mu", "laggard"):
+            trial = functools.partial(pack_fn, anchor=anchor)
+            if not int(jnp.max(trial(data_i32, params, enc)[4])):
+                pack_fn, path = trial, f"{path} ({anchor})"
+                break
+        else:
             pack_fn, path = None, "two-pass"
     log(f"encode path: {path} (stride_rows={stride_rows})")
 
@@ -287,7 +293,8 @@ def main():
     # on the serial window chain) — the library decodes canonical; the
     # probe stays in the A/B so regressions in either path surface.
     dec_makers = {
-        "canonical": mk_decode,
+        "canonical": functools.partial(mk_decode, ch=chain),
+        "dense-chain": mk_decode,
         "probe": functools.partial(mk_decode, probe=True),
     }
     t_decs = measure_chained_multi(

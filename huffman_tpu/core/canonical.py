@@ -144,6 +144,32 @@ def canonical_code_table(
     )
 
 
+def chain_spec(table: CodeTable) -> tuple[tuple[int, int], ...]:
+    """Grouped compare-chain spec for the canonical length decode.
+
+    The dense decode formula is ``len = min_len + #{l in [min_len,
+    max_len_present) : window >= lim_left[l]}``.  Consecutive levels with
+    no codewords share the SAME left-justified limit (``lim_left[l] ==
+    lim_left[l+1]`` iff ``counts[l+1] == 0``, from the next_code
+    recurrence), so their compares are duplicates.  This returns one
+    ``(level, weight)`` pair per DISTINCT limit — ``len = min_len +
+    sum(weight for (l, w) where window >= lim_left[l])`` — which the decode
+    kernel evaluates with one compare per group (typical tables have 2-4
+    groups vs up to 15 dense levels).  Derived from counts only, so the
+    decoder reconstructs the identical spec from the container's lengths.
+    """
+    lo, hi = table.min_len, table.max_len_present
+    out = []
+    l = lo
+    while l < hi:
+        j = l
+        while j + 1 < hi and int(table.counts[j + 1]) == 0:
+            j += 1
+        out.append((j, j - l + 1))
+        l = j + 1
+    return tuple(out)
+
+
 def build_flat_lut(table: CodeTable, lut_bits: int | None = None):
     """Single-level decode LUT: 2^lut_bits entries of (symbol, length).
 

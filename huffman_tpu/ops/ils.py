@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.canonical import CodeTable
+from ..core.canonical import CodeTable, chain_spec
 from ..core.ils_ref import (
     ILS_LANES,
     IlsParams,
@@ -291,28 +291,39 @@ def ils_encode_to_device(
                 ils_pack_certify_stream, chunk_cap=_STREAM_CHUNK_CAP
             )
     if fused is not None:
-        pay_s, bits, dn, dx, viol = fused(
-            data_i32, params_j, enc, k=k, stride_rows=stride_rows,
-            e_band=fused_e_band(k), rot=rot, interpret=interpret,
-        )
-        if not int(jnp.max(viol)):
+        # tiered window anchoring: "mu" (scalar base, fastest) first; a
+        # violation there usually means common-mode schedule drift through
+        # heterogeneous content, which the "laggard" anchor (cross-lane
+        # min; ~25% slower pack, measured) absorbs — only genuine
+        # cross-lane spread can violate it, and that falls to two-pass.
+        for anchor in ("mu", "laggard"):
+            pay_s, bits, dn, dx, viol = fused(
+                data_i32, params_j, enc, k=k, stride_rows=stride_rows,
+                e_band=fused_e_band(k), rot=rot, anchor=anchor,
+                interpret=interpret,
+            )
+            if int(jnp.max(viol)):
+                continue
             params = finish(bits, dn, dx)
             # ils_compact over-reads w_cap rows per tile from the strided
             # region; the last tile's over-read must stay inside the
             # trailing stride_rows of slack.  An envelope-widened w_cap can
             # (pathologically) exceed that — use the two-pass path then,
-            # whose buffers size themselves to w_cap.
-            if params.w_cap <= 2 * stride_rows:
-                row_starts_dev = jnp.asarray(
-                    params.row_starts[:-1].astype(np.int32)
-                )
-                payload_rows = ils_compact(
-                    pay_s, row_starts_dev, stride_rows=stride_rows,
-                    w_cap=params.w_cap, total_rows=params.total_rows,
-                    interpret=interpret,
-                )
-                return payload_rows, row_starts_dev, params
-        # out-of-band emission or oversized widened cap: certify first
+            # whose buffers size themselves to w_cap (anchor-independent,
+            # so no point retrying the other anchor).
+            if params.w_cap > 2 * stride_rows:
+                break
+            row_starts_dev = jnp.asarray(
+                params.row_starts[:-1].astype(np.int32)
+            )
+            payload_rows = ils_compact(
+                pay_s, row_starts_dev, stride_rows=stride_rows,
+                w_cap=params.w_cap, total_rows=params.total_rows,
+                interpret=interpret,
+            )
+            return payload_rows, row_starts_dev, params
+        # out-of-band emission at both anchors or oversized widened cap:
+        # certify first
 
     bits, dec_min, dec_max, enc_min, enc_max = ils_lengths_pass(
         data_i32, params_j, enc, k=k, rot=rot, interpret=interpret
@@ -413,6 +424,7 @@ def ils_decode_device(
         n_tiles=p.n_tiles,
         rot=p.rot,
         probe=probe,
+        chain=chain_spec(table),
         interpret=interpret,
     )
     return np.asarray(out).view(np.uint32).reshape(-1).view("<u4").view(np.uint8)

@@ -605,7 +605,7 @@ FUSED_E_BAND = 32
 def _pack_certify_kernel(
     params_ref, lo_tab, hi_tab, data_ref,
     out_pay, bits_ref, dnmin_ref, dnmax_ref, viol_ref,
-    pay, carry, sem, *, k, stride_rows, e_band, n_win, flush_g, rot,
+    pay, carry, sem, *, k, stride_rows, e_band, n_win, flush_g, anchor, rot,
     interpret
 ):
     """One-pass encode: pack into a worst-case-stride payload region while
@@ -631,13 +631,22 @@ def _pack_certify_kernel(
         jnp.int32, (W, 1, SUBLANES, LANES), 0
     )
 
-    def _win_base(e_ptr):
-        # anchor the emission window at the LAGGARD stream's write position
-        # (was: mu + static offset).  Every emission lands at rel >= 0 by
-        # construction, so the violation flag now means exactly "cross-lane
-        # emission spread exceeds W" — common-mode schedule drift through
-        # heterogeneous content can no longer void the fused pass, only
-        # genuine lane decorrelation width can (which rotation narrows).
+    boff_est = -(e_band // 2)
+
+    def _win_base(e_ptr, gi):
+        # Tiered window anchoring (static choice, escalated by the caller on
+        # violation — `ops/ils.py::ils_encode_to_device`):
+        # - "mu": window centered on the schedule position mu (scalar ALU,
+        #   free).  Covers content whose emission rate tracks the table's
+        #   mean; heterogeneous content drifts out and flags a violation.
+        # - "laggard": window floored at the LAGGARD stream's write
+        #   position, so only genuine cross-lane spread (which rotation
+        #   narrows) can violate — but `jnp.min` is a cross-lane reduction
+        #   whose latency lands on the serial pack chain EVERY flush
+        #   (measured −33% pack throughput on v5e), so it is the retry
+        #   tier, not the default.
+        if anchor == "mu":
+            return _mu_base(gi, params_ref[0], boff_est, cap_pairs, W)
         return jnp.clip(jnp.min(e_ptr), 0, cap_pairs - W)
 
     @pl.when(c_idx == 0)
@@ -702,7 +711,7 @@ def _pack_certify_kernel(
         for g in range(U // G):
             i = U * jj + G * g
             gi0 = c_idx * iters + i
-            base = _win_base(e_ptr)
+            base = _win_base(e_ptr, gi0)
             for b in range(G):
                 w = data_ref[i + b]
                 if rot:
@@ -749,7 +758,7 @@ def _pack_certify_kernel(
     def _fini():
         bits_ref[0] = 64 * e_ptr + used
         _, _, _, viol2 = flush2(
-            a, used, e_ptr, _win_base(e_ptr), viol, final=True
+            a, used, e_ptr, _win_base(e_ptr, k // 4 - 1), viol, final=True
         )
         viol_ref[0] = viol2
         dma = pltpu.make_async_copy(
@@ -777,12 +786,12 @@ def _pack_certify_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "stride_rows", "rot", "interpret", "flush_g", "e_band"
+        "k", "stride_rows", "rot", "interpret", "flush_g", "e_band", "anchor"
     ),
 )
 def ils_pack_certify(data_i32, params, enc: IlsEncTabs, *, k, stride_rows,
                      rot=False, interpret=False, flush_g=None,
-                     e_band=FUSED_E_BAND):
+                     e_band=FUSED_E_BAND, anchor="mu"):
     """Fused single-pass encode at worst-case tile stride.
 
     Returns (payload_strided (n_tiles*stride_rows + stride_rows, 8, 128),
@@ -790,16 +799,23 @@ def ils_pack_certify(data_i32, params, enc: IlsEncTabs, *, k, stride_rows,
     (n_tiles, n_win, 8, 128) int32).  The
     trailing stride_rows rows are zero slack for `ils_compact`'s
     over-reads.  If any element of viol is nonzero the payload is void and
-    the caller must use the two-pass path."""
+    the caller must use the two-pass path.
+
+    ``anchor``: emission-window anchoring — "mu" (default; scalar schedule
+    position, fastest) or "laggard" (cross-lane min of write positions;
+    drift-immune retry tier — see `_win_base`)."""
     if flush_g is not None and flush_g not in (1, 2):
         raise ValueError("flush_g must be 1 or 2")
+    if anchor not in ("mu", "laggard"):
+        raise ValueError("anchor must be 'mu' or 'laggard'")
     n_tiles = data_i32.shape[0] // (k // 4)
     n_chunks = _n_chunks(k)
     iters = _chunk_iters(k)
     n_win = ils_n_win(k)
     kern = functools.partial(
         _pack_certify_kernel, k=k, stride_rows=stride_rows, e_band=e_band,
-        n_win=n_win, flush_g=flush_g, rot=rot, interpret=interpret,
+        n_win=n_win, flush_g=flush_g, anchor=anchor, rot=rot,
+        interpret=interpret,
     )
     small = pl.BlockSpec(
         (1, SUBLANES, LANES), lambda t, c, p: (t, 0, 0),
@@ -850,7 +866,7 @@ def _pack_certify_stream_kernel(
     params_ref, lo_tab, hi_tab, data_ref,
     out_pay, bits_ref, dnmin_ref, dnmax_ref, viol_ref,
     pay, carry, sem, *, k, stride_rows, e_band, n_win, span_pairs, iters,
-    flush_g, rot, interpret
+    flush_g, anchor, rot, interpret
 ):
     """Streaming fused certify+pack: a sliding VMEM emission window.
 
@@ -892,9 +908,16 @@ def _pack_certify_stream_kernel(
         jnp.int32, (W, 1, SUBLANES, LANES), 0
     )
 
-    def _win_base(e_ptr):
-        # laggard-anchored emission window (see `_pack_certify_kernel`):
-        # monotone >= the chunk-entry floor, so brel stays non-negative
+    boff_est = -(e_band // 2)
+
+    def _win_base(e_ptr, gi):
+        # Tiered anchoring (see `_pack_certify_kernel._win_base`).  Both
+        # anchors are monotone in gi (mu is non-decreasing; per-lane write
+        # positions only advance) and >= the chunk-entry floor, so brel
+        # stays non-negative; both advance <= 1 pair/body, so the fixed
+        # 2*iters-row per-chunk ship always covers the floor's advance.
+        if anchor == "mu":
+            return _mu_base(gi, params_ref[0], boff_est, cap_pairs, W)
         return jnp.clip(jnp.min(e_ptr), 0, cap_pairs - W)
 
     @pl.when(c_idx == 0)
@@ -958,7 +981,7 @@ def _pack_certify_stream_kernel(
         for g in range(U // G):
             i = U * jj + G * g
             gi0 = c_idx * iters + i
-            base = _win_base(e_ptr)
+            base = _win_base(e_ptr, gi0)
             for b in range(G):
                 w = data_ref[i + b]
                 if rot:
@@ -1003,7 +1026,7 @@ def _pack_certify_stream_kernel(
     def _fini():
         bits_ref[0] = 64 * e_ptr + used
         _, _, _, viol2 = flush2(
-            a, used, e_ptr, _win_base(e_ptr), viol, final=True
+            a, used, e_ptr, _win_base(e_ptr, k // 4 - 1), viol, final=True
         )
         viol_ref[0] = viol2
         # ship the whole remaining live span
@@ -1028,8 +1051,10 @@ def _pack_certify_stream_kernel(
         )
         dma.start()
         dma.wait()
-        # slide the live tail to row 0 and re-zero the vacated span
-        floor_next = _win_base(e_ptr)
+        # slide the live tail to row 0 and re-zero the vacated span; the
+        # floor is the NEXT body's window base (both anchors are monotone,
+        # so every later flush base is >= it)
+        floor_next = _win_base(e_ptr, (c_idx + 1) * iters)
         carry[11] = jnp.full(shape, floor_next)
         shift = 2 * (floor_next - floor_c)
         tail = pay[pl.ds(shift, tail_rows)]
@@ -1076,12 +1101,13 @@ def ils_stream_span_rows(k, stride_rows, e_band=FUSED_E_BAND,
     jax.jit,
     static_argnames=(
         "k", "stride_rows", "rot", "interpret", "flush_g", "e_band",
-        "chunk_cap"
+        "chunk_cap", "anchor"
     ),
 )
 def ils_pack_certify_stream(
     data_i32, params, enc: IlsEncTabs, *, k, stride_rows, rot=False,
     interpret=False, flush_g=None, e_band=FUSED_E_BAND, chunk_cap=CHUNK_I,
+    anchor="mu",
 ):
     """Streaming fused single-pass encode (sliding emission window).
 
@@ -1097,6 +1123,8 @@ def ils_pack_certify_stream(
     can exercise the sliding logic at small k in interpret mode."""
     if flush_g is not None and flush_g not in (1, 2):
         raise ValueError("flush_g must be 1 or 2")
+    if anchor not in ("mu", "laggard"):
+        raise ValueError("anchor must be 'mu' or 'laggard'")
     n_tiles = data_i32.shape[0] // (k // 4)
     iters = _chunk_iters(k, chunk_cap)
     n_chunks = (k // 4) // iters
@@ -1108,7 +1136,7 @@ def ils_pack_certify_stream(
     kern = functools.partial(
         _pack_certify_stream_kernel, k=k, stride_rows=stride_rows,
         e_band=e_band, n_win=n_win, span_pairs=span_pairs, iters=iters,
-        flush_g=flush_g, rot=rot, interpret=interpret,
+        flush_g=flush_g, anchor=anchor, rot=rot, interpret=interpret,
     )
     small = pl.BlockSpec(
         (1, SUBLANES, LANES), lambda t, c, p: (t, 0, 0),
@@ -1240,6 +1268,7 @@ def _decode_kernel(
     n_win,
     rot,
     probe,
+    chain,
     interpret,
 ):
     """Schedule-v2 decode: 128-bit register, one pair refill per body.
@@ -1281,11 +1310,23 @@ def _decode_kernel(
         # levels below the first occupied one are empty (their limits are
         # 0, the compare is always true), so the flag set starts at ``lo``;
         # the compares are mutually independent and tree-reduced to keep
-        # the dependency chain logarithmic.
-        flags = [
-            (win >= lim_ref[0, l]).astype(jnp.int32)
-            for l in range(lo, max_len)
-        ]
+        # the dependency chain logarithmic.  With a grouped ``chain`` spec
+        # (one (level, weight) pair per DISTINCT limit —
+        # `core/canonical.py::chain_spec`) runs of absent levels collapse
+        # to ONE weighted compare; the spec is exact for lo == min_len
+        # only, so the hybrid probe's levels>=9 chain stays dense.
+        if chain is not None and lo == min_len:
+            flags = [
+                (win >= lim_ref[0, l]).astype(jnp.int32)
+                if wt == 1
+                else jnp.where(win >= lim_ref[0, l], wt, 0)
+                for (l, wt) in chain
+            ]
+        else:
+            flags = [
+                (win >= lim_ref[0, l]).astype(jnp.int32)
+                for l in range(lo, max_len)
+            ]
         while len(flags) > 1:
             nxt = [a + b for a, b in zip(flags[::2], flags[1::2])]
             if len(flags) % 2:
@@ -1328,11 +1369,16 @@ def _decode_kernel(
         sym, lns = _chain_sym(win, ln)
         return sym, ln, lns
 
+    # Decoded lengths are never 0 (the chain returns >= min_len >= 1, and
+    # the pure-probe LUT is total at max_len <= 8), so `x >> (32 - lns)` is
+    # always a defined shift (32 - lns in [16, 31]) — one op less per use
+    # than the general `(x >> 1) >> (31 - lns)` guard, ON the serial chain.
     def decode_one(a0, a1, a2, a3, valid):
         sym, ln, lns = _sym_ln(a0)
-        a0 = (a0 << lns) | ((a1 >> u32(1)) >> (u32(31) - lns))
-        a1 = (a1 << lns) | ((a2 >> u32(1)) >> (u32(31) - lns))
-        a2 = (a2 << lns) | ((a3 >> u32(1)) >> (u32(31) - lns))
+        rs = u32(32) - lns
+        a0 = (a0 << lns) | (a1 >> rs)
+        a1 = (a1 << lns) | (a2 >> rs)
+        a2 = (a2 << lns) | (a3 >> rs)
         a3 = a3 << lns
         valid = valid - ln
         return a0, a1, a2, a3, valid, sym
@@ -1345,7 +1391,7 @@ def _decode_kernel(
         # tail stays inside its level's limit interval), so a max-length
         # codeword still decodes correctly from the window alone.
         sym, ln, lns = _sym_ln(a0)
-        a0 = (a0 << lns) | ((a1 >> u32(1)) >> (u32(31) - lns))
+        a0 = (a0 << lns) | (a1 >> (u32(32) - lns))
         a1 = a1 << lns
         return a0, a1, ln, sym
 
@@ -1517,7 +1563,7 @@ def _decode_kernel(
     jax.jit,
     static_argnames=(
         "k", "w_cap", "w_band", "max_len", "min_len", "n_tiles", "rot",
-        "probe", "interpret", "nt", "unroll", "lazy"
+        "probe", "chain", "interpret", "nt", "unroll", "lazy"
     ),
 )
 def ils_decode(
@@ -1535,12 +1581,18 @@ def ils_decode(
     min_len=1,
     rot=False,
     probe=False,
+    chain=None,
     interpret=False,
     nt=None,
     unroll=None,
     lazy=True,
 ):
     """Decode n_tiles tiles.
+
+    ``chain`` (optional, static): grouped compare-chain spec from
+    `core/canonical.py::chain_spec` — one (level, weight) pair per
+    distinct decode limit.  None falls back to the dense per-level chain
+    (bit-identical output; the spec only removes duplicate compares).
 
     Args:
       payload_rows: (total_rows + >=w_cap slack, 8, 128) int32 interleaved
@@ -1573,7 +1625,7 @@ def ils_decode(
         _decode_kernel, k=k, w_cap=w_cap, w_band=w_band, max_len=max_len,
         min_len=max(min(min_len, max_len), 1), nt=nt, iters=iters,
         unroll=unroll, lazy=lazy, n_win=n_win, rot=rot, probe=probe,
-        interpret=interpret,
+        chain=chain, interpret=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

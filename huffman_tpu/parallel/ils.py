@@ -80,6 +80,7 @@ def make_ils_sharded_decode(
     max_len: int,
     tiles_per_device: int,
     rot: bool = False,
+    chain: tuple | None = None,
     interpret: bool = False,
 ):
     """Jitted sharded ILS decode.
@@ -111,6 +112,7 @@ def make_ils_sharded_decode(
             max_len=max_len,
             n_tiles=tiles_per_device,
             rot=rot,
+            chain=chain,
             interpret=interpret,
         )
         return out[None]

@@ -114,6 +114,45 @@ def test_decode_kernel_variants(lazy, nt, n_tiles):
     assert np.array_equal(np.asarray(out), np.asarray(data_i32))
 
 
+@pytest.mark.parametrize("r", [0.1, 0.5, 0.9])
+def test_decode_chain_spec_matches_dense(r):
+    # the grouped compare chain (one weighted compare per distinct decode
+    # limit, `core/canonical.py::chain_spec`) must be bit-identical to the
+    # dense per-level chain at every redundancy
+    from huffman_tpu.core.canonical import chain_spec
+    from huffman_tpu.ops.ils import _as_tiles_i32, ils_encode_to_device
+    from huffman_tpu.ops.pallas.ils_kernels import ils_decode
+    import jax.numpy as jnp
+
+    k = 12
+    n = 2 * k * ILS_LANES
+    data = generate_redundant(n, r, seed=13)
+    table = _fit(data)
+    enc, dec = ils_enc_tabs(table), ils_dec_tabs(table)
+    spec = chain_spec(table)
+    # grouped spec must cover [min_len, max_len_present) with its weights
+    assert sum(w for _, w in spec) == max(
+        table.max_len_present - table.min_len, 0
+    )
+    avg = float(table.lengths.astype(np.int64)[data].mean())
+    data_i32 = jnp.asarray(_as_tiles_i32(data, k))
+    rows, starts, p = ils_encode_to_device(
+        data_i32, enc, k=k, avg_bits=avg, interpret=True
+    )
+    params = jnp.asarray(np.array([p.snum, 0], np.int32))
+    kw = dict(
+        k=p.k, w_cap=p.w_cap, w_band=p.w_band,
+        max_len=table.max_len_present, min_len=table.min_len,
+        n_tiles=p.n_tiles, interpret=True,
+    )
+    out_dense = ils_decode(rows, starts, params, jnp.asarray(p.boffs), dec,
+                           **kw)
+    out_grouped = ils_decode(rows, starts, params, jnp.asarray(p.boffs), dec,
+                             chain=spec, **kw)
+    assert np.array_equal(np.asarray(out_dense), np.asarray(data_i32))
+    assert np.array_equal(np.asarray(out_grouped), np.asarray(data_i32))
+
+
 @pytest.mark.parametrize("n_tiles", [1, 3])
 def test_decode_odd_tile_counts(n_tiles):
     # the interleaved (nt=2) decode kernel pads odd tile counts with a
@@ -160,6 +199,64 @@ def test_fused_pack_violation_falls_back():
         e_band=2,
     )
     assert int(jnp.max(viol)) == 1  # the skewed stream leaves the band
+
+
+def test_fused_pack_anchor_escalation(monkeypatch):
+    # heterogeneous content drifts the emission schedule away from mu in
+    # COMMON MODE (all lanes together): the fast "mu" window anchor must
+    # flag a violation, the "laggard" retry must absorb it (cross-lane
+    # spread stays tiny), and the library must return the laggard-anchored
+    # fused container — never falling to two-pass — bit-exact with the
+    # oracle payload
+    import jax.numpy as jnp
+
+    from huffman_tpu.core.ils_ref import ils_schedule_numer
+    from huffman_tpu.ops.ils import _as_tiles_i32
+    import huffman_tpu.ops.ils as ils_ops
+    from huffman_tpu.ops.pallas.ils_kernels import ils_pack_certify
+
+    k = 256
+    n = k * ILS_LANES
+    # first half zeros (short codes), second half uniform (long codes):
+    # snum is fit on the mix, so e_ptr falls far behind mu through the
+    # zeros half — identical in every lane
+    data = np.zeros(n, np.uint8)
+    data[n // 2:] = generate_redundant(n // 2, 0.0, seed=17)
+    table = _fit(data)
+    enc, dec = ils_enc_tabs(table), ils_dec_tabs(table)
+    avg = float(table.lengths.astype(np.int64)[data].mean())
+    ml = int(table.max_len_present)
+    stride_rows = max(2 * (-(-k * ml // 64)), 4)
+    snum = ils_schedule_numer(avg)
+    params = jnp.asarray(np.array([snum, 0], np.int32))
+    data_i32 = jnp.asarray(_as_tiles_i32(data, k))
+    kw = dict(k=k, stride_rows=stride_rows, e_band=8, interpret=True)
+    viol_mu = ils_pack_certify(data_i32, params, enc, anchor="mu", **kw)[4]
+    viol_lag = ils_pack_certify(
+        data_i32, params, enc, anchor="laggard", **kw
+    )[4]
+    assert int(jnp.max(viol_mu)) == 1
+    assert int(jnp.max(viol_lag)) == 0
+    # the library path must escalate mu -> laggard and stay one-pass
+    monkeypatch.setattr(ils_ops, "FUSED_E_BAND", 8)
+    monkeypatch.setattr(ils_ops, "fused_e_band", lambda k: 8)
+    monkeypatch.setattr(
+        ils_ops, "ils_lengths_pass",
+        lambda *a, **kws: pytest.fail("two-pass path must not run"),
+    )
+    payload_np, params_np = ils_encode_np(data, table, k)
+    rows, _, p = ils_ops.ils_encode_to_device(
+        data_i32, enc, k=k, avg_bits=avg, max_len=ml, interpret=True
+    )
+    payload = (
+        np.asarray(rows[: p.total_rows])
+        .reshape(p.total_rows, ILS_LANES)
+        .view(np.uint32)
+    )
+    assert np.array_equal(payload, payload_np)
+    sec = ils_ops.IlsSection(params=p, payload=payload)
+    out = ils_decode_device(sec, table, dec, interpret=True)
+    assert np.array_equal(out, data)
 
 
 def test_fused_pack_wider_e_band_same_output():
