@@ -626,27 +626,31 @@ def _pack_certify_kernel(
 
     U = _unroll(iters, e_band, interpret)
     G = flush_g if flush_g and U % flush_g == 0 else (2 if U % 2 == 0 else 1)
-    W = min(e_band + G, cap_pairs)
+    # the stale laggard base lags one flush (<= 2 retired pairs) behind
+    W = min(e_band + G + (2 if anchor == "laggard" else 0), cap_pairs)
     iota_pairs = jax.lax.broadcasted_iota(
         jnp.int32, (W, 1, SUBLANES, LANES), 0
     )
 
     boff_est = -(e_band // 2)
+    lag = anchor == "laggard"
 
-    def _win_base(e_ptr, gi):
-        # Tiered window anchoring (static choice, escalated by the caller on
-        # violation — `ops/ils.py::ils_encode_to_device`):
-        # - "mu": window centered on the schedule position mu (scalar ALU,
-        #   free).  Covers content whose emission rate tracks the table's
-        #   mean; heterogeneous content drifts out and flags a violation.
-        # - "laggard": window floored at the LAGGARD stream's write
-        #   position, so only genuine cross-lane spread (which rotation
-        #   narrows) can violate — but `jnp.min` is a cross-lane reduction
-        #   whose latency lands on the serial pack chain EVERY flush
-        #   (measured −33% pack throughput on v5e), so it is the retry
-        #   tier, not the default.
-        if anchor == "mu":
-            return _mu_base(gi, params_ref[0], boff_est, cap_pairs, W)
+    # Tiered window anchoring (static choice, escalated by the caller on
+    # violation — `ops/ils.py::ils_encode_to_device`):
+    # - "mu": window centered on the schedule position mu (scalar ALU,
+    #   free).  Covers content whose emission rate tracks the table's
+    #   mean; heterogeneous content drifts out and flags a violation.
+    # - "laggard": window floored at the LAGGARD stream's write position,
+    #   so only genuine cross-lane spread (which rotation narrows) can
+    #   violate.  `jnp.min` is a cross-lane reduction whose latency would
+    #   land on the serial pack chain every flush (measured −32% pack on
+    #   v5e), so the base is STALE by one flush: each flush consumes the
+    #   base computed from the PREVIOUS flush's e_ptr — still a valid
+    #   floor (write positions only advance, so rel >= 0 holds) — and the
+    #   reduction's latency hides under the following G bodies.  The
+    #   window is 2 pairs wider to cover the one-flush advance.
+
+    def _lag_base(e_ptr):
         return jnp.clip(jnp.min(e_ptr), 0, cap_pairs - W)
 
     @pl.when(c_idx == 0)
@@ -659,6 +663,7 @@ def _pack_certify_kernel(
         carry[8] = jnp.full(shape, 128, jnp.int32)  # dec sim: valid
         carry[9] = jnp.full(shape, 2, jnp.int32)    # dec sim: pptr
         carry[10] = jnp.zeros(shape, jnp.int32)  # emission violation
+        carry[11] = jnp.zeros(shape, jnp.int32)  # stale laggard base
         dnmin_ref[0] = jnp.full((n_win,) + shape, _BIG, jnp.int32)
         dnmax_ref[0] = jnp.full((n_win,) + shape, -_BIG, jnp.int32)
 
@@ -702,7 +707,7 @@ def _pack_certify_kernel(
         return a, used - 64 * cnt, e_ptr + cnt, viol
 
     def body(jj, st):
-        a, used, e_ptr, valid, pptr, viol = st
+        a, used, e_ptr, valid, pptr, viol, base = st
         # per-window envelope accumulation: a U-group never straddles an
         # ILS_WIN boundary (every unroll factor divides ILS_WIN), so one
         # RMW per group retires its window contribution
@@ -711,7 +716,8 @@ def _pack_certify_kernel(
         for g in range(U // G):
             i = U * jj + G * g
             gi0 = c_idx * iters + i
-            base = _win_base(e_ptr, gi0)
+            if not lag:
+                base = _mu_base(gi0, params_ref[0], boff_est, cap_pairs, W)
             for b in range(G):
                 w = data_ref[i + b]
                 if rot:
@@ -734,6 +740,10 @@ def _pack_certify_kernel(
                 pptr = pptr + refill.astype(jnp.int32)
                 valid = valid + jnp.where(refill, 64, 0)
             a, used, e_ptr, viol = flush2(a, used, e_ptr, base, viol)
+            if lag:
+                # base for the NEXT flush — the reduction's latency hides
+                # under the next G bodies instead of blocking this flush
+                base = _lag_base(e_ptr)
         wi = (c_idx * iters + U * jj) // ILS_WIN
         dnmin_ref[0, pl.ds(wi, 1)] = jnp.minimum(
             dnmin_ref[0, pl.ds(wi, 1)], gdn[None]
@@ -741,25 +751,28 @@ def _pack_certify_kernel(
         dnmax_ref[0, pl.ds(wi, 1)] = jnp.maximum(
             dnmax_ref[0, pl.ds(wi, 1)], gdx[None]
         )
-        return a, used, e_ptr, valid, pptr, viol
+        return a, used, e_ptr, valid, pptr, viol, base
 
     state = (
         tuple(pltpu.bitcast(carry[j], u32) for j in range(6)),
         carry[6], carry[7], carry[8], carry[9], carry[10],
+        carry[11][0, 0],
     )
     st = jax.lax.fori_loop(0, iters // U, body, state, unroll=False)
-    a, used, e_ptr, valid, pptr, viol = st
+    a, used, e_ptr, valid, pptr, viol, base = st
     for j in range(6):
         carry[j] = pltpu.bitcast(a[j], jnp.int32)
     carry[6], carry[7], carry[8], carry[9] = used, e_ptr, valid, pptr
     carry[10] = viol
+    carry[11] = jnp.full(shape, base)
 
     @pl.when(c_idx == n_chunks - 1)
     def _fini():
         bits_ref[0] = 64 * e_ptr + used
-        _, _, _, viol2 = flush2(
-            a, used, e_ptr, _win_base(e_ptr, k // 4 - 1), viol, final=True
+        fbase = base if lag else _mu_base(
+            k // 4 - 1, params_ref[0], boff_est, cap_pairs, W
         )
+        _, _, _, viol2 = flush2(a, used, e_ptr, fbase, viol, final=True)
         viol_ref[0] = viol2
         dma = pltpu.make_async_copy(
             pay, out_pay.at[pl.ds(t * stride_rows, stride_rows)], sem
@@ -843,7 +856,7 @@ def ils_pack_certify(data_i32, params, enc: IlsEncTabs, *, k, stride_rows,
         ],
         scratch_shapes=[
             pltpu.VMEM((stride_rows, SUBLANES, LANES), jnp.int32),
-            pltpu.VMEM((11, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((12, SUBLANES, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -902,22 +915,24 @@ def _pack_certify_stream_kernel(
 
     U = _unroll(iters, e_band, interpret)
     G = flush_g if flush_g and U % flush_g == 0 else (2 if U % 2 == 0 else 1)
-    W = min(e_band + G, cap_pairs)
+    # the stale laggard base lags one flush (<= 2 retired pairs) behind
+    W = min(e_band + G + (2 if anchor == "laggard" else 0), cap_pairs)
     tail_rows = 2 * W
     iota_pairs = jax.lax.broadcasted_iota(
         jnp.int32, (W, 1, SUBLANES, LANES), 0
     )
 
     boff_est = -(e_band // 2)
+    lag = anchor == "laggard"
 
-    def _win_base(e_ptr, gi):
-        # Tiered anchoring (see `_pack_certify_kernel._win_base`).  Both
-        # anchors are monotone in gi (mu is non-decreasing; per-lane write
-        # positions only advance) and >= the chunk-entry floor, so brel
-        # stays non-negative; both advance <= 1 pair/body, so the fixed
-        # 2*iters-row per-chunk ship always covers the floor's advance.
-        if anchor == "mu":
-            return _mu_base(gi, params_ref[0], boff_est, cap_pairs, W)
+    # Tiered anchoring with the same STALE laggard base as
+    # `_pack_certify_kernel` (the cross-lane min hides under the next G
+    # bodies).  Both anchors are monotone (mu is non-decreasing in gi;
+    # per-lane write positions only advance) and >= the chunk-entry floor,
+    # so brel stays non-negative; both advance <= 1 pair/body, so the
+    # fixed 2*iters-row per-chunk ship always covers the floor's advance.
+
+    def _lag_base(e_ptr):
         return jnp.clip(jnp.min(e_ptr), 0, cap_pairs - W)
 
     @pl.when(c_idx == 0)
@@ -931,6 +946,7 @@ def _pack_certify_stream_kernel(
         carry[9] = jnp.full(shape, 2, jnp.int32)    # dec sim: pptr
         carry[10] = jnp.zeros(shape, jnp.int32)  # emission violation
         carry[11] = jnp.zeros(shape, jnp.int32)  # window floor (scalar bcast)
+        carry[12] = jnp.zeros(shape, jnp.int32)  # stale laggard base
         dnmin_ref[0] = jnp.full((n_win,) + shape, _BIG, jnp.int32)
         dnmax_ref[0] = jnp.full((n_win,) + shape, -_BIG, jnp.int32)
 
@@ -975,13 +991,14 @@ def _pack_certify_stream_kernel(
         return a, used - 64 * cnt, e_ptr + cnt, viol
 
     def body(jj, st):
-        a, used, e_ptr, valid, pptr, viol = st
+        a, used, e_ptr, valid, pptr, viol, base = st
         gdn = jnp.full(shape, _BIG, jnp.int32)
         gdx = jnp.full(shape, -_BIG, jnp.int32)
         for g in range(U // G):
             i = U * jj + G * g
             gi0 = c_idx * iters + i
-            base = _win_base(e_ptr, gi0)
+            if not lag:
+                base = _mu_base(gi0, params_ref[0], boff_est, cap_pairs, W)
             for b in range(G):
                 w = data_ref[i + b]
                 if rot:
@@ -1002,6 +1019,8 @@ def _pack_certify_stream_kernel(
                 pptr = pptr + refill.astype(jnp.int32)
                 valid = valid + jnp.where(refill, 64, 0)
             a, used, e_ptr, viol = flush2(a, used, e_ptr, base, viol)
+            if lag:
+                base = _lag_base(e_ptr)  # for the NEXT flush (stale)
         wi = (c_idx * iters + U * jj) // ILS_WIN
         dnmin_ref[0, pl.ds(wi, 1)] = jnp.minimum(
             dnmin_ref[0, pl.ds(wi, 1)], gdn[None]
@@ -1009,25 +1028,28 @@ def _pack_certify_stream_kernel(
         dnmax_ref[0, pl.ds(wi, 1)] = jnp.maximum(
             dnmax_ref[0, pl.ds(wi, 1)], gdx[None]
         )
-        return a, used, e_ptr, valid, pptr, viol
+        return a, used, e_ptr, valid, pptr, viol, base
 
     state = (
         tuple(pltpu.bitcast(carry[j], u32) for j in range(6)),
         carry[6], carry[7], carry[8], carry[9], carry[10],
+        carry[12][0, 0],
     )
     st = jax.lax.fori_loop(0, iters // U, body, state, unroll=False)
-    a, used, e_ptr, valid, pptr, viol = st
+    a, used, e_ptr, valid, pptr, viol, base = st
     for j in range(6):
         carry[j] = pltpu.bitcast(a[j], jnp.int32)
     carry[6], carry[7], carry[8], carry[9] = used, e_ptr, valid, pptr
     carry[10] = viol
+    carry[12] = jnp.full(shape, base)
 
     @pl.when(c_idx == n_chunks - 1)
     def _fini():
         bits_ref[0] = 64 * e_ptr + used
-        _, _, _, viol2 = flush2(
-            a, used, e_ptr, _win_base(e_ptr, k // 4 - 1), viol, final=True
+        fbase = base if lag else _mu_base(
+            k // 4 - 1, params_ref[0], boff_est, cap_pairs, W
         )
+        _, _, _, viol2 = flush2(a, used, e_ptr, fbase, viol, final=True)
         viol_ref[0] = viol2
         # ship the whole remaining live span
         dma = pltpu.make_async_copy(
@@ -1052,9 +1074,12 @@ def _pack_certify_stream_kernel(
         dma.start()
         dma.wait()
         # slide the live tail to row 0 and re-zero the vacated span; the
-        # floor is the NEXT body's window base (both anchors are monotone,
-        # so every later flush base is >= it)
-        floor_next = _win_base(e_ptr, (c_idx + 1) * iters)
+        # floor is the NEXT flush's window base (both anchors are monotone,
+        # so every later flush base is >= it): the carried stale base for
+        # laggard, the next chunk's first mu base otherwise
+        floor_next = base if lag else _mu_base(
+            (c_idx + 1) * iters, params_ref[0], boff_est, cap_pairs, W
+        )
         carry[11] = jnp.full(shape, floor_next)
         shift = 2 * (floor_next - floor_c)
         tail = pay[pl.ds(shift, tail_rows)]
@@ -1164,7 +1189,7 @@ def ils_pack_certify_stream(
         ],
         scratch_shapes=[
             pltpu.VMEM((span_rows, SUBLANES, LANES), jnp.int32),
-            pltpu.VMEM((12, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((13, SUBLANES, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

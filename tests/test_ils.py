@@ -357,10 +357,12 @@ def test_hybrid_probe_decode_matches_oracle(r):
     assert np.array_equal(np.asarray(out), np.asarray(data_i32))
 
 
-def test_stream_pack_matches_fused():
+@pytest.mark.parametrize("anchor", ["mu", "laggard"])
+def test_stream_pack_matches_fused(anchor):
     # the streaming fused pack (sliding emission window, per-chunk DMA
-    # flushes) must reproduce the monolithic fused pack's outputs exactly:
-    # same strided payload, bits, refill envelopes, and violation flags
+    # flushes) must reproduce the monolithic fused pack's outputs exactly
+    # at BOTH window anchors: same strided payload, bits, refill
+    # envelopes, and violation flags
     import jax.numpy as jnp
 
     from huffman_tpu.core.ils_ref import ils_schedule_numer
@@ -383,11 +385,12 @@ def test_stream_pack_matches_fused():
     params = jnp.asarray(np.array([snum, 0], np.int32))
     data_i32 = jnp.asarray(_as_tiles_i32(data, k))
     ref = ils_pack_certify(
-        data_i32, params, enc, k=k, stride_rows=stride_rows, interpret=True
+        data_i32, params, enc, k=k, stride_rows=stride_rows, interpret=True,
+        anchor=anchor,
     )
     got = ils_pack_certify_stream(
         data_i32, params, enc, k=k, stride_rows=stride_rows, interpret=True,
-        chunk_cap=8,
+        chunk_cap=8, anchor=anchor,
     )
     for name, a, b in zip(
         ("bits", "dec_min", "dec_max", "viol"), ref[1:], got[1:]
