@@ -21,7 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .pallas.compact_kernel import (
+    CNT_LANE,
     MAX_ROW_BYTES,
+    OFF_LANE,
     TILE_BYTES,
     plan_tiles,
     ragged_concat_pallas,
@@ -99,8 +101,10 @@ def compact_ranks_device(
         raise ValueError(
             f"segment count exceeds {MAX_ROW_BYTES} bytes; use the XLA path"
         )
-    if packed.shape[0] > 128:
-        raise ValueError("rank matrix wider than one lane row (128 words)")
+    if packed.shape[0] > OFF_LANE:
+        # lanes OFF_LANE/CNT_LANE carry the per-segment metadata; the
+        # MAX_ROW_BYTES gate bounds real rank rows to 120 lanes anyway
+        raise ValueError("rank matrix would overlap the metadata lanes")
 
     ends = np.cumsum(counts)
     offs = ends - counts
@@ -130,16 +134,9 @@ def compact_ranks_device(
             f"segment window {s_cap} exceeds the VMEM budget ({_S_CAP_MAX}); "
             "use the XLA path"
         )
-    chunk_sizes = [
-        min(chunk_bytes, out_size - c * chunk_bytes) for c in range(n_chunks)
-    ]
-
     rows = _rows_lsb(packed)  # (n_segs_p, out_rows)
     s_pad = _round_up(max(n_segs, 1), 8) + s_cap
     r0 = min(rows.shape[0], s_pad)
-    rows = jnp.zeros((s_pad, 128), jnp.int32).at[
-        :r0, : rows.shape[1]
-    ].set(rows[:r0])
 
     symlo, symhi = _sym_tiles(np.asarray(symtab, np.uint8))
 
@@ -148,29 +145,43 @@ def compact_ranks_device(
     counts_pad = np.zeros(s_pad, np.int64)
     counts_pad[:n_segs] = counts
 
-    pieces = []
-    tile0 = 0
-    for c in range(n_chunks):
-        cb = c * chunk_bytes
-        n_tiles = _cdiv(chunk_sizes[c], TILE_BYTES)
-        base = int(sc0[c])
-        o_c = jnp.asarray(
-            (offs_pad[base : base + s_cap] - cb).astype(np.int32)[:, None]
-        )
-        c_c = jnp.asarray(counts_pad[base : base + s_cap]
-                          .astype(np.int32)[:, None])
-        s0_c = np.clip(
-            s_first_all[tile0 : tile0 + n_tiles].astype(np.int64) - base,
-            0, s_cap - band,
-        ).astype(np.int32)[:, None]
-        rows_c = jax.lax.dynamic_slice(rows, (base, 0), (s_cap, 128))
-        out_c = ragged_concat_pallas(
-            rows_c, o_c, c_c, jnp.asarray(s0_c), symlo, symhi,
-            band=band, n_tiles=n_tiles, interpret=interpret,
-        )
-        pieces.append(out_c.reshape(-1))
-        tile0 += n_tiles
+    # rank rows with the per-segment metadata embedded in the spare lanes
+    # (one array -> one window DMA per chunk in the kernel)
+    rows = (
+        jnp.zeros((s_pad, 128), jnp.int32)
+        .at[:r0, : rows.shape[1]].set(rows[:r0])
+        .at[:, OFF_LANE].set(jnp.asarray(offs_pad.astype(np.int32)))
+        .at[:, CNT_LANE].set(jnp.asarray(counts_pad.astype(np.int32)))
+    )
 
-    words = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+    # ONE dispatch over a (chunk, tile) grid: the kernel DMAs each chunk's
+    # certified segment window from HBM at the prefetched base row.  (The
+    # per-chunk pallas_call form paid the host tunnel's ~29 ms dispatch
+    # floor once per 2 MiB of output — ~0.1 GB/s on 64 MB blocks.)
+    tpc = chunk_bytes // TILE_BYTES
+    n_tiles_total = _cdiv(out_size, TILE_BYTES)
+    bases = np.minimum(sc0, s_pad - s_cap).astype(np.int32)
+    s0_rel = np.zeros(n_chunks * tpc, np.int32)
+    tile_chunk = np.minimum(
+        np.arange(n_tiles_total) // tpc, n_chunks - 1
+    )
+    s0_rel[:n_tiles_total] = np.clip(
+        s_first_all.astype(np.int64) - bases[tile_chunk],
+        0, s_cap - band,
+    ).astype(np.int32)
+
+    out_t = ragged_concat_pallas(
+        rows,
+        jnp.asarray(bases),
+        jnp.asarray(s0_rel),
+        symlo,
+        symhi,
+        band=band,
+        s_cap=s_cap,
+        chunk_bytes=chunk_bytes,
+        n_tiles=n_tiles_total,
+        interpret=interpret,
+    )
+    words = out_t[:n_tiles_total].reshape(-1)
     out = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1)
     return out[:out_size]

@@ -25,9 +25,17 @@ kernel re-expresses placement as dense vector algebra:
   output bytes, LSB-first within each int32 word (i.e. a little-endian
   bitcast away from the byte stream).
 
+The whole block runs as ONE dispatch: the grid iterates (chunk, tile), the
+full segment-row matrix stays in HBM (ANY memory), and each chunk DMAs its
+certified segment window into VMEM scratch at a scalar-prefetched dynamic
+row offset — the same pattern as the ILS kernels' payload windows.  (The
+previous per-chunk `pallas_call` form paid the host link's ~29 ms dispatch
+floor once per 2 MiB of output, which capped the gap/self-sync decode
+pipelines at ~0.1 GB/s through the tunnel.)
+
 Nothing in the hot path gathers from HBM or addresses raggedly; the only
-dynamic addressing is sublane-dim slicing of the band start, which the TPU
-supports natively.
+dynamic addressing is the per-chunk window DMA and sublane-dim slicing of
+the band start, both natively supported.
 """
 
 from __future__ import annotations
@@ -55,29 +63,44 @@ TILE_BYTES = SUBLANES * LANES * 4  # output bytes per grid step (4096)
 # A segment row may occupy at most 120 words (480 bytes): after the +1-word
 # byte-alignment extension it must still span <= 2 output frames post-roll.
 MAX_ROW_BYTES = 480
+# The spare lanes carry each segment's metadata alongside its rank bytes
+# (rows use <= 120 of the 128 lanes), so ONE window DMA brings everything —
+# a separate (S, 1) array cannot be DMA-sliced (Mosaic requires lane-dim
+# slices aligned to the 128 tiling).
+OFF_LANE = 126  # absolute output byte offset of the segment
+CNT_LANE = 127  # byte count of the segment
 
 
 def _cdiv(a, b):
     return -(-a // b)
 
 
-def _kernel(s0_ref, offs_ref, counts_ref, rows_ref, symlo_ref, symhi_ref,
-            out_ref, *, band):
-    i = pl.program_id(0)
-    k0 = i * TILE_BYTES  # tile base byte (relative to this chunk)
-    # s0 lives whole in SMEM (n_tiles <= 512 per chunk, 2 KB): Mosaic
-    # rejects sub-(8,128) *blocked* specs, so the kernel indexes the full
-    # array by grid position instead of block-slicing it
-    s0 = s0_ref[i, 0]
+def _kernel(base_ref, s0_ref, rows_hbm, symlo_ref, symhi_ref, out_ref,
+            win, sem, *, band, s_cap, tpc, chunk_bytes):
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _load():
+        # the chunk's certified segment window (rank rows + the OFF/CNT
+        # metadata lanes), DMA'd from HBM at the host-computed window base
+        dma = pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(base_ref[c], s_cap)], win, sem
+        )
+        dma.start()
+        dma.wait()
+
+    k0 = c * chunk_bytes + i * TILE_BYTES  # tile base byte (absolute)
+    s0 = s0_ref[c * tpc + i]  # band start, window-relative (host-clipped)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
     u32 = jnp.uint32
 
     acc = jnp.zeros((SUBLANES, LANES), jnp.int32)
     for g in range(band // SUBLANES):
         base = s0 + g * SUBLANES
-        off8 = offs_ref[pl.ds(base, SUBLANES), :]  # (8, 1)
-        cnt8 = counts_ref[pl.ds(base, SUBLANES), :]  # (8, 1)
-        row = rows_ref[pl.ds(base, SUBLANES), :]  # (8, 128) int32 LSB-first
+        row = win[pl.ds(base, SUBLANES), :]  # (8, 128) int32 LSB-first
+        off8 = jax.lax.slice_in_dim(row, OFF_LANE, OFF_LANE + 1, axis=1)
+        cnt8 = jax.lax.slice_in_dim(row, CNT_LANE, CNT_LANE + 1, axis=1)
 
         # byte-mask to the segment's true count (bytes t < cnt survive)
         c4 = cnt8 >> 2
@@ -125,58 +148,76 @@ def _kernel(s0_ref, offs_ref, counts_ref, rows_ref, symlo_ref, symhi_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("band", "n_tiles", "interpret")
+    jax.jit,
+    static_argnames=("band", "s_cap", "chunk_bytes", "n_tiles", "interpret"),
 )
 def ragged_concat_pallas(
-    rows: jnp.ndarray,  # (S, 128) int32, LSB-first packed rank bytes per seg
-    offs: jnp.ndarray,  # (S, 1) int32 output byte offset of each segment
-    counts: jnp.ndarray,  # (S, 1) int32 byte count of each segment
-    s0: jnp.ndarray,  # (n_tiles, 1) int32 band start per output tile
+    rows: jnp.ndarray,  # (S_pad, 128) int32 rank rows + OFF/CNT_LANE meta
+    bases: jnp.ndarray,  # (n_chunks,) int32 window base row per chunk
+    s0: jnp.ndarray,  # (n_chunks * tpc,) int32 window-relative band starts
     symlo: jnp.ndarray,  # (8, 128) int32 rank -> symbol, ranks 0..127
     symhi: jnp.ndarray,  # (8, 128) int32 rank -> symbol, ranks 128..255
     *,
     band: int,
+    s_cap: int,
+    chunk_bytes: int,
     n_tiles: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Ragged-concat `counts[s]` bytes of each segment row at `offs[s]`.
+    """Ragged-concat each segment row (LSB-first packed bytes in lanes
+    0..119) at its absolute output offset (lane OFF_LANE), masked to its
+    byte count (lane CNT_LANE).
 
-    Returns (n_tiles, 8, 128) int32 whose little-endian bitcast is the
-    concatenated symbol byte stream.  Requirements (certified by the
-    caller): band % 8 == 0; every segment overlapping tile i lies in
-    [s0[i], s0[i]+band); counts <= MAX_ROW_BYTES; offs strictly ordered
-    with disjoint extents; s0[i] + band <= S.
+    ONE dispatch over a (chunk, tile) grid; chunk c covers output bytes
+    [c * chunk_bytes, (c+1) * chunk_bytes) and DMAs segment-window rows
+    [bases[c], bases[c] + s_cap) into VMEM.  Returns (n_tiles, 8, 128)
+    int32 whose little-endian bitcast is the concatenated symbol byte
+    stream (trailing tiles past the real output are garbage; the caller
+    slices).  Requirements (certified by the caller): band % 8 == 0;
+    every segment overlapping tile i lies in the window at
+    [s0[i], s0[i] + band) with s0[i] in [0, s_cap - band]; counts <=
+    MAX_ROW_BYTES; offsets strictly ordered with disjoint extents;
+    bases[c] + s_cap <= S_pad; chunk_bytes a multiple of TILE_BYTES.
     """
     assert band % SUBLANES == 0 and band > 0
-    kern = functools.partial(_kernel, band=band)
-    return pl.pallas_call(
-        kern,
-        grid=(n_tiles,),
+    assert chunk_bytes % TILE_BYTES == 0
+    tpc = chunk_bytes // TILE_BYTES
+    n_chunks = bases.shape[0]
+    assert s0.shape[0] == n_chunks * tpc
+    kern = functools.partial(
+        _kernel, band=band, s_cap=s_cap, tpc=tpc, chunk_bytes=chunk_bytes
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks, tpc),
         in_specs=[
-            pl.BlockSpec(s0.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(rows.shape[:1] + (1,), lambda i: (0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((SUBLANES, LANES), lambda c, i, b, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(rows.shape[:1] + (1,), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(rows.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+            pl.BlockSpec((SUBLANES, LANES), lambda c, i, b, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, SUBLANES, LANES), lambda i: (i, 0, 0),
+            (1, SUBLANES, LANES), lambda c, i, b, s: (c * tpc + i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((s_cap, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks * tpc, SUBLANES, LANES), jnp.int32
+        ),
         interpret=interpret,
-    )(s0, offs, counts, rows, symlo, symhi)
+    )(bases, s0, rows, symlo, symhi)
 
 
 def plan_tiles(counts: np.ndarray, out_size: int):
-    """Host-side band certification for one chunk.
+    """Host-side band certification for one block.
 
     counts: (S,) exact byte counts (np).  Returns (s0 (n_tiles,) int32,
     band int) such that every segment whose extent overlaps output tile i
