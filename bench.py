@@ -227,14 +227,20 @@ def main():
 
     stride_rows = max(2 * (-(-p.k * maxlen // 64)), 4)
     eb = {"e_band": fused_e_band(p.k) if args.e_band is None else args.e_band}
+    stream_fn = None  # alternate variant for the encode A/B (big-k regime)
     if stride_rows <= FUSED_STRIDE_BUDGET:
         pack_fn, path = ils_pack_certify, "fused 1-pass"
     else:
+        # library parity: two-pass is the measured big-k default
+        # (ops/ils.py::PREFER_STREAM_PACK); keep the streaming one-pass in
+        # the A/B so the decision stays monitored
+        pack_fn, path = None, "two-pass"
         span = ils_stream_span_rows(p.k, stride_rows, **eb)
         if span is not None and span <= FUSED_STRIDE_BUDGET:
-            pack_fn, path = ils_pack_certify_stream, "streaming 1-pass"
-        else:
-            pack_fn, path = None, "two-pass"
+            stream_fn = functools.partial(
+                ils_pack_certify_stream, k=p.k, stride_rows=stride_rows,
+                rot=rot, interpret=interpret, **eb
+            )
     if pack_fn is not None and p.w_cap > 2 * stride_rows:
         # library parity (ops/ils.py): ils_compact over-reads w_cap rows per
         # tile from the strided region; an envelope-widened cap past the
@@ -256,14 +262,17 @@ def main():
             pack_fn, path = None, "two-pass"
     log(f"encode path: {path} (stride_rows={stride_rows})")
 
-    def mk_encode(R):
+    def mk_encode(R, fused=None):
+        # fused: None = the library's path; False = force two-pass;
+        # a pack callable = that fused variant
+        fused = pack_fn if fused is None else (fused or None)
         @jax.jit
         def f(data0):
             def body(i, carry):
                 acc, d = carry
                 d = d.at[0, 0, 0].set(d[0, 0, 0] ^ 1)
-                if pack_fn is not None:
-                    pay_s, bits, dn, dx, viol = pack_fn(d, params, enc)
+                if fused is not None:
+                    pay_s, bits, dn, dx, viol = fused(d, params, enc)
                     payload = ils_compact(
                         pay_s, row_starts, stride_rows=stride_rows,
                         w_cap=p.w_cap, total_rows=p.total_rows,
@@ -312,8 +321,30 @@ def main():
     # free the compact payload before the encode chain: at 4 GB inputs the
     # fused path's strided intermediate plus the held payload exceeds HBM
     payload_rows = None
-    t_enc = measure_chained(mk_encode, max(reps // 4, 1), reps, data_i32)
+    enc_makers = {"library": mk_encode}
+    if pack_fn is not None:
+        # A/B the certified two-pass pipeline against the chosen fused
+        # path (same shapes; w_band stands in for the emission band, which
+        # certifies to a similar width on the data the fused path accepts)
+        enc_makers["two-pass"] = functools.partial(mk_encode, fused=False)
+    elif stream_fn is not None:
+        # big-k regime: library runs two-pass; monitor the streaming
+        # one-pass alternative (pick the violation-free anchor first)
+        for anchor in ("mu", "laggard"):
+            trial = functools.partial(stream_fn, anchor=anchor)
+            if not int(jnp.max(trial(data_i32, params, enc)[4])):
+                enc_makers[f"streaming ({anchor})"] = functools.partial(
+                    mk_encode, fused=trial
+                )
+                break
+    t_encs = measure_chained_multi(
+        enc_makers, max(reps // 4, 1), reps, data_i32
+    )
+    t_enc = t_encs["library"]
     enc_gbps = main_bytes / t_enc / 1e9
+    for name, tv in sorted(t_encs.items()):
+        if name != "library":
+            log(f"encode[{name}]: {main_bytes / tv / 1e9:.3f} GB/s")
     log(f"encode (certify+pack kernels): {enc_gbps:.3f} GB/s ({t_enc * 1e3:.2f} ms)")
     log(f"vs sequential.cpp decode baseline ({BASELINE_DECODE_GBPS:.5f} GB/s): "
         f"{dec_gbps / BASELINE_DECODE_GBPS:.0f}x")

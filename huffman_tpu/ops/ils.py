@@ -68,8 +68,18 @@ MIN_K = 2048
 
 # fused certify+pack writes at worst-case tile stride; the stride must fit
 # the pack scratch alongside the data chunks (see VMEM_ROW_BUDGET).  Beyond
-# it the STREAMING fused pack takes over (live-span scratch only).
+# it the certified two-pass pipeline takes over.
 FUSED_STRIDE_BUDGET = 2048
+
+# Measured decision (v5e, 64 MB r=0.9 k=16384, same-process interleaved
+# A/B): the certified two-pass encode runs 28.5 GB/s vs 22.4 for the
+# streaming one-pass — the streaming pack must provision its emission band
+# for worst-case drift (e_band = 64 at k=16384) while the two-pass pack
+# gets the exact measured envelope (w_band_enc ~= 48), and the banded RMW
+# write scales with the band.  Same container bytes either way (identical
+# schedule + envelopes), so two-pass is the big-k default; the streaming
+# kernel remains available here and stays A/B'd by bench.py.
+PREFER_STREAM_PACK = False
 
 # bodies per grid chunk for the streaming pack (tests shrink this to
 # exercise the sliding window at small k)
@@ -279,10 +289,12 @@ def ils_encode_to_device(
         pass
     elif stride_rows <= FUSED_STRIDE_BUDGET:
         fused = ils_pack_certify
-    else:
+    elif PREFER_STREAM_PACK:
         # worst-case stride exceeds the pack scratch (k=8192/16384 ratio
         # mode): the streaming variant holds only the live emission span
-        # in VMEM and ships fixed-size windows per chunk
+        # in VMEM and ships fixed-size windows per chunk.  Measured SLOWER
+        # than the two-pass pipeline on v5e (see PREFER_STREAM_PACK), so
+        # this is opt-in; correctness is pinned by tests either way.
         span = ils_stream_span_rows(
             k, stride_rows, fused_e_band(k), chunk_cap=_STREAM_CHUNK_CAP
         )

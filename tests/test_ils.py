@@ -425,6 +425,7 @@ def test_encode_stream_roundtrip(monkeypatch):
     avg = float(table.lengths.astype(np.int64)[data].mean())
     # stride for max_len=16 is 128 rows; span at chunk_cap=8 is 92
     monkeypatch.setattr(ils_ops, "FUSED_STRIDE_BUDGET", 100)
+    monkeypatch.setattr(ils_ops, "PREFER_STREAM_PACK", True)
     monkeypatch.setattr(ils_ops, "_STREAM_CHUNK_CAP", 8)
     monkeypatch.setattr(
         ils_ops, "ils_pack_certify",
