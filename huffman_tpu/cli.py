@@ -39,9 +39,11 @@ def _add_codec_args(p):
         help="ILS k policy: narrow refill band (speed) or minimal padding (ratio)",
     )
     p.add_argument(
-        "--method", choices=["lut", "canonical", "twolevel", "pallas"],
-        default="lut",
-        help="htc1 decode inner-step implementation",
+        "--method",
+        choices=["auto", "lut", "canonical", "twolevel", "pallas"],
+        default="auto",
+        help="htc1 decode inner-step implementation (auto: pallas on TPU, "
+             "lut elsewhere)",
     )
     p.add_argument(
         "--rotate", choices=["auto", "on", "off"], default="auto",
@@ -118,7 +120,7 @@ def _codec_kwargs(args):
         max_len=args.max_len,
         seg_bits=args.seg_bits or SEG_BITS,
         block_bytes=args.block_bytes or DEFAULT_BLOCK_BYTES,
-        method=args.method,
+        method=None if args.method == "auto" else args.method,
     )
 
 
@@ -175,7 +177,7 @@ def cmd_decode(args):
             comp = read_container(blob)
             codec = GapArrayCodec(
                 comp.table, seg_bits=comp.seg_bits, block_bytes=comp.block_bytes,
-                method=args.method,
+                method=None if args.method == "auto" else args.method,
             )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -264,8 +266,10 @@ def main(argv=None):
     p.add_argument("input")
     p.add_argument("-o", "--output", required=True)
     p.add_argument(
-        "--method", choices=["lut", "canonical", "twolevel", "pallas"],
-        default="lut",
+        "--method",
+        choices=["auto", "lut", "canonical", "twolevel", "pallas"],
+        default="auto",
+        help="auto: pallas on TPU, lut elsewhere",
     )
     p.add_argument(
         "--format", choices=["auto", "yamamoto", "seq"], default="auto",

@@ -27,12 +27,16 @@ count is corrected from the known original size.
 
 from __future__ import annotations
 
+import functools
 import struct
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.canonical import CodeTable
 from ..constants import REF_SEG_BITS
+from ..ops.decode import count_segments, decode_block
 
 __all__ = [
     "table_from_length_sequence",
@@ -165,13 +169,20 @@ def read_yamamoto(buf: bytes):
     return table, words, gaps, int(original_size)
 
 
-def decode_yamamoto(buf: bytes) -> np.ndarray:
-    """Decode a reference-format container on device (two-pass gap decode)."""
-    import jax.numpy as jnp
+def decode_yamamoto(buf: bytes, method: str | None = None) -> np.ndarray:
+    """Decode a reference-format container on device (two-pass gap decode).
 
+    ``method`` None selects the TPU-aware default (`default_gap_method`):
+    the counting pass runs on device either way, and on TPU the write pass
+    goes through the fused Pallas ranks + placement pipeline instead of the
+    gather-bound XLA scan (the reference's own demo runs its fast
+    `gpu_dec_l1_l2` path by default, `decoder/src/huff.cpp:27-146`).
+    """
+    from ..models.gap_codec import default_gap_method
     from ..ops import dec_spec, device_dec_table
-    from ..ops.decode import count_segments, decode_block
 
+    if method is None:
+        method = default_gap_method()
     table, words, gaps, original_size = read_yamamoto(buf)
     if original_size == 0:
         return np.zeros(0, np.uint8)
@@ -183,6 +194,16 @@ def decode_yamamoto(buf: bytes) -> np.ndarray:
     # The format stores no exact bit count; count against the word-count
     # upper bound, then correct the final segment from the known size.
     max_count = _SEGMENT_BITS // max(spec.min_len, 1) + 1
+
+    if method == "pallas":
+        out = _decode_pallas_planned(
+            words_j, gaps_j, dec, spec, table, n_segs, original_size,
+            max_count,
+        )
+        if out is not None:
+            return out
+        method = "lut"
+
     counts = count_segments(
         words_j,
         gaps_j,
@@ -191,13 +212,14 @@ def decode_yamamoto(buf: bytes) -> np.ndarray:
         spec=spec,
         seg_bits=_SEGMENT_BITS,
         max_count=max_count,
-        method="lut",
+        method=method,
     )
     counts = np.asarray(counts).copy()
     excess = int(counts.sum()) - original_size
     if excess < 0 or excess > counts[-1]:
         raise ValueError("corrupt container: symbol count mismatch")
     counts[-1] -= excess
+
     out = decode_block(
         words_j,
         gaps_j,
@@ -207,6 +229,79 @@ def decode_yamamoto(buf: bytes) -> np.ndarray:
         seg_bits=_SEGMENT_BITS,
         max_count=int(counts.max()) if n_segs else 1,
         out_size=original_size,
-        method="lut",
+        method=method,
+    )
+    return np.asarray(out)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "seg_bits", "max_count", "out_cap")
+)
+def _yam_meta(words, gaps, total_bits, original_size, dec, *, spec,
+              seg_bits, max_count, out_cap):
+    """Stage A, ONE dispatch: gather-free counting pass (grouped compare
+    chain, lengths only) + last-segment correction + placement-plan
+    scalars.  Only ~16 int32s cross to the host."""
+    from ..ops.compact import compact_scalars
+
+    counts = count_segments(
+        words, gaps, total_bits, dec, spec=spec, seg_bits=seg_bits,
+        max_count=max_count, method="canonical",
+    )
+    last_raw = counts[-1]
+    excess = jnp.sum(counts) - original_size
+    counts = counts.at[-1].add(-excess)
+    plan = compact_scalars(counts, out_cap)
+    head = jnp.stack([jnp.max(counts), excess, last_raw]).astype(jnp.int32)
+    return counts, jnp.concatenate([head, plan])
+
+
+def _decode_pallas_planned(words_j, gaps_j, dec, spec, table, n_segs,
+                           original_size, max_count):
+    """Two-dispatch device-planned decode (counts born on device, scalar
+    plan on host, fused ranks+placement) — the TPU default path.  Returns
+    None when the Pallas kernels cannot take this stream (degenerate
+    codes / VMEM-infeasible window); caller falls back to the XLA path."""
+    from ..ops.compact import (
+        TILE_BYTES,
+        CompactStatics,
+        MAX_ROW_BYTES,
+        _round_up,
+        _sym_tiles,
+        pick_chunk,
+    )
+    from ..ops.pallas.decode_kernel import fused_planned_decode
+
+    counts, scal = _yam_meta(
+        words_j, gaps_j, jnp.int32((int(words_j.shape[0]) - 2) * 32),
+        jnp.int32(original_size), dec, spec=spec, seg_bits=_SEGMENT_BITS,
+        max_count=_SEGMENT_BITS // max(spec.min_len, 1) + 1,
+        out_cap=original_size,
+    )
+    scal_h = np.asarray(scal)
+    mx, excess, last_raw = int(scal_h[0]), int(scal_h[1]), int(scal_h[2])
+    if excess < 0 or excess > last_raw:
+        raise ValueError("corrupt container: symbol count mismatch")
+    if mx > MAX_ROW_BYTES:
+        return None
+    try:
+        band, s_cap, chunk_bytes = pick_chunk(scal_h[3:])
+    except ValueError:
+        return None
+    statics = CompactStatics(
+        out_size=original_size,
+        n_segs=n_segs,
+        band=band,
+        s_cap=s_cap,
+        s_pad=_round_up(max(n_segs, 1), 8) + s_cap,
+        chunk_bytes=chunk_bytes,
+        n_tiles=-(-original_size // TILE_BYTES),
+    )
+    symlo, symhi = _sym_tiles(np.asarray(table.symtab, np.uint8))
+    out = fused_planned_decode(
+        words_j, gaps_j, counts, symlo, symhi, dec, spec=spec,
+        seg_bits=_SEGMENT_BITS, n_segs=n_segs,
+        max_count=-(-max(mx, 1) // 8) * 8, statics=statics,
+        interpret=jax.default_backend() != "tpu",
     )
     return np.asarray(out)

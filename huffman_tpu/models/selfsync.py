@@ -16,22 +16,29 @@ TPU-native pipeline (contrast `gpuhd/src/cuhd_gpu_decoder.cu:422-523`):
    ``(Pa @ Pb, ca + Pa @ cb)`` yields every subsequence's true entry state
    and prefix symbol count in O(log n) batched-matmul steps — the role of
    CUHD's thrust::exclusive_scan (`:497-505`) and sync iteration combined.
-3. **Decode pass**: the gap-array Pallas kernel (`decode_ranks_pallas`)
-   consumes (entry, count) per subsequence exactly as if an encoder-side gap
-   array existed; ragged output is compacted on host via a boolean mask
-   (decode-side placement is this path's cost — streams produced by THIS
-   framework carry ILS schedules instead and never pay it).
+3. **Decode pass**: ONE fused dispatch (`fused_planned_decode`) — the
+   gap-array ranks kernel consumes (entry, count) per subsequence exactly
+   as if an encoder-side gap array existed, and the banded placement kernel
+   concatenates the ragged output on device, with its index arrays computed
+   from the device counts (only the plan's ~14 scalars touch the host).
+   Decode-side placement is this path's cost — streams produced by THIS
+   framework carry ILS schedules instead and never pay it.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.canonical import CodeTable
+from ..core.canonical import CodeTable, chain_spec
 from ..ops.pallas.selfsync_kernels import SYNC_STATES, sync_transitions
-from ..ops.pallas.decode_kernel import decode_ranks_pallas
+from ..ops.pallas.decode_kernel import (
+    decode_ranks_pallas,
+    fused_planned_decode,
+)
 from ..ops.tables import DecSpec, device_dec_table
 
 __all__ = [
@@ -84,6 +91,40 @@ def selfsync_decode_words(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "seg_bits", "n_subseq", "max_len", "min_len", "out_cap", "interpret"
+    ),
+)
+def _selfsync_meta(
+    words, total_bits, lim, *, seg_bits, n_subseq, max_len, min_len,
+    out_cap, interpret,
+):
+    """Stage A, ONE dispatch: transitions + composition scan + per-subseq
+    (entry, count) + the placement plan's scalar half — only ~14 int32s
+    cross to the host (through the TPU tunnel every eager staging op costs
+    the ~29 ms dispatch floor, and an O(n_subseq) counts pull costs seconds
+    at the link's MB/s D2H rate)."""
+    from ..ops.compact import compact_scalars
+
+    packed = sync_transitions(
+        words, total_bits, lim, seg_bits=seg_bits, n_subseq=n_subseq,
+        max_len=max_len, min_len=min_len, interpret=interpret,
+    )
+    packed = packed[:, :n_subseq].T  # (n, 16)
+    exits = packed >> 16
+    counts16 = packed & 0xFFFF
+    entry = _compose_scan(exits)
+    counts = jnp.take_along_axis(counts16, entry[:, None], axis=1)[:, 0]
+    counts = counts.astype(jnp.int32)
+    plan = compact_scalars(counts, out_cap)
+    head = jnp.stack(
+        [jnp.sum(counts), jnp.max(counts) if n_subseq else jnp.int32(1)]
+    ).astype(jnp.int32)
+    return entry, counts, jnp.concatenate([head, plan])
+
+
 def selfsync_decode_device(
     words: np.ndarray,
     total_bits: int,
@@ -93,9 +134,11 @@ def selfsync_decode_device(
 ):
     """`selfsync_decode_words` keeping the decoded bytes ON DEVICE.
 
-    The benchmark path: only scalar metadata syncs to the host, so the
-    slow D2H link never sees the payload (the degenerate sub-2-bit
-    fallback below still returns a host array)."""
+    The benchmark path: TWO device dispatches (metadata, then fused
+    ranks+placement) with only scalar metadata syncing to the host in
+    between — the slow D2H link never sees the payload or the per-segment
+    counts (the degenerate sub-2-bit fallback below still returns a host
+    array)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if total_bits == 0:
@@ -103,33 +146,64 @@ def selfsync_decode_device(
     max_len = max(table.max_len_present, 1)
     if max_len > SYNC_STATES:
         raise ValueError("self-sync decode requires max codeword length <= 16")
+    min_len = max(table.min_len, 1)
     n_subseq = _cdiv(total_bits, _SEG_BITS)
     lim = np.zeros((1, 32), np.uint32)
     lim[0, : table.lim_left.shape[0]] = table.lim_left
 
+    from ..ops.compact import (
+        TILE_BYTES,
+        CompactStatics,
+        MAX_ROW_BYTES,
+        _round_up,
+        _sym_tiles,
+        pick_chunk,
+    )
+
+    out_cap = total_bits // min_len + 4
     words_j = jnp.asarray(words)
-    packed = sync_transitions(
+    entry, counts, scal = _selfsync_meta(
         words_j,
         jnp.int32(total_bits),
         jnp.asarray(lim),
         seg_bits=_SEG_BITS,
         n_subseq=n_subseq,
         max_len=max_len,
-        min_len=max(table.min_len, 1),
+        min_len=min_len,
+        out_cap=out_cap,
         interpret=interpret,
     )
-    packed = packed[:, :n_subseq].T  # (n, 16)
-    exits = packed >> 16
-    counts16 = packed & 0xFFFF
-    entry = _compose_scan(exits)
-    counts = jnp.take_along_axis(counts16, entry[:, None], axis=1)[:, 0]
-
-    counts_h = np.asarray(counts)
-    total_syms = int(counts_h.sum(dtype=np.int64))
-    max_count = int(counts_h.max()) if n_subseq else 1
+    scal_h = np.asarray(scal)
+    total_syms, max_count = int(scal_h[0]), int(scal_h[1])
 
     dec = device_dec_table(table, two_level=False)
-    spec = DecSpec(lut_bits=max_len, max_len=max_len, min_len=max(table.min_len, 1))
+    spec = DecSpec(
+        lut_bits=max_len, max_len=max_len, min_len=min_len,
+        chain=chain_spec(table),
+    )
+    if max_count <= MAX_ROW_BYTES:
+        try:
+            band, s_cap, chunk_bytes = pick_chunk(scal_h[2:])
+            statics = CompactStatics(
+                out_size=total_syms,
+                n_segs=n_subseq,
+                band=band,
+                s_cap=s_cap,
+                s_pad=_round_up(max(n_subseq, 1), 8) + s_cap,
+                chunk_bytes=chunk_bytes,
+                n_tiles=_cdiv(total_syms, TILE_BYTES),
+            )
+            symlo, symhi = _sym_tiles(np.asarray(table.symtab, np.uint8))
+            return fused_planned_decode(
+                words_j, entry, counts, symlo, symhi, dec,
+                spec=spec, seg_bits=_SEG_BITS, n_segs=n_subseq,
+                max_count=_cdiv(max(max_count, 1), 8) * 8,
+                statics=statics, interpret=interpret,
+            )
+        except ValueError:
+            pass  # VMEM-infeasible segment window: host compaction below
+
+    # degenerate sub-2-bit codes: host mask compaction over padded ranks
     ranks = decode_ranks_pallas(
         words_j,
         entry,
@@ -141,22 +215,10 @@ def selfsync_decode_device(
         max_count=max_count,
         interpret=interpret,
     )
-    from ..ops.compact import MAX_ROW_BYTES, compact_ranks_device
-
-    if max_count <= MAX_ROW_BYTES:
-        try:
-            # device ragged-concat placement (ops/pallas/compact_kernel.py):
-            # the decoded bytes stay on device until the caller pulls them
-            return compact_ranks_device(
-                ranks, counts_h, table.symtab, total_syms, interpret=interpret
-            )
-        except ValueError:
-            pass  # VMEM-infeasible segment window: host compaction below
-
-    # degenerate sub-2-bit codes: host mask compaction over padded ranks
+    counts_h = np.asarray(counts)
     ranks_h = np.asarray(ranks)[:, :n_subseq]  # (out_rows, n)
     by_sym = (
-        np.frombuffer(ranks_h.astype(">u4").tobytes(), np.uint8)
+        np.frombuffer(ranks_h.astype("<u4").tobytes(), np.uint8)
         .reshape(ranks_h.shape[0], n_subseq, 4)
         .transpose(1, 0, 2)
         .reshape(n_subseq, -1)

@@ -7,6 +7,13 @@ prefix sums and band certification done host-side from the exact per-segment
 counts (already host data in every caller) and zero O(payload) device<->host
 traffic.
 
+Split into a host *plan* (`plan_compact`: band certification, chunking, the
+per-tile window starts — pure NumPy over the counts) and a traceable device
+*apply* (`compact_apply`: LSB transpose, row assembly, the placement kernel)
+so callers can fuse the apply with the ranks kernel under ONE jit — through
+the TPU tunnel every eager staging op costs the ~29 ms dispatch floor, which
+is what capped the r03 gap decode at 0.485 GB/s (4+ floors per block).
+
 The kernel works on one output *chunk* (<= CHUNK_OUT_BYTES) at a time so the
 segment-row window stays within VMEM whatever the block size; chunks slice a
 shared device row array and run the same compiled kernel.
@@ -15,6 +22,7 @@ shared device row array and run the same compiled kernel.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -24,12 +32,20 @@ from .pallas.compact_kernel import (
     CNT_LANE,
     MAX_ROW_BYTES,
     OFF_LANE,
+    SUBLANES,
     TILE_BYTES,
     plan_tiles,
     ragged_concat_pallas,
 )
 
-__all__ = ["compact_ranks_device", "CHUNK_OUT_BYTES", "MAX_ROW_BYTES"]
+__all__ = [
+    "compact_ranks_device",
+    "plan_compact",
+    "compact_apply",
+    "CompactPlan",
+    "CHUNK_OUT_BYTES",
+    "MAX_ROW_BYTES",
+]
 
 CHUNK_OUT_BYTES = 1 << 21  # 2 MiB of output per kernel invocation (maximum)
 
@@ -50,18 +66,12 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _rows_lsb(packed: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """(out_rows, S) MSB-first packed ranks -> (S, out_rows) LSB-first."""
-    del interpret
-    x = jax.lax.bitcast_convert_type(packed, jnp.uint32)
-    swapped = (
-        (x << 24)
-        | ((x & jnp.uint32(0xFF00)) << 8)
-        | ((x >> 8) & jnp.uint32(0xFF00))
-        | (x >> 24)
-    )
-    return jax.lax.bitcast_convert_type(swapped, jnp.int32).T
+def _rows_lsb(packed: jnp.ndarray) -> jnp.ndarray:
+    """(out_rows, S) LSB-first packed ranks -> (S, out_rows) segment rows.
+
+    The ranks kernel packs little-endian (stream order == byte order), so
+    this is a pure transpose."""
+    return packed.T
 
 
 def _sym_tiles(symtab: np.ndarray):
@@ -72,40 +82,40 @@ def _sym_tiles(symtab: np.ndarray):
     return lo, hi
 
 
-def compact_ranks_device(
-    packed: jnp.ndarray,
-    counts: np.ndarray,
-    symtab: np.ndarray,
-    out_size: int,
-    *,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Place + permute decoded ranks into the final byte stream, on device.
+class CompactStatics(NamedTuple):
+    """Hashable shape/config half of a plan — a static jit argument."""
 
-    Args:
-      packed: (out_rows, n_segs_p) int32 from `decode_ranks_pallas` (4 ranks
-        per word, MSB-first).
-      counts: (n_segs,) HOST symbol counts (sum == out_size).
-      symtab: (num_symbols,) canonical rank -> symbol.
-      out_size: total output bytes.
+    out_size: int
+    n_segs: int
+    band: int
+    s_cap: int
+    s_pad: int
+    chunk_bytes: int
+    n_tiles: int
 
-    Returns a device (out_size,) uint8 array.  Raises ValueError when a
-    segment exceeds MAX_ROW_BYTES or the certified segment window cannot fit
-    VMEM at any chunk size (caller falls back to the XLA path).
+
+class CompactPlan(NamedTuple):
+    """Host-certified placement plan (statics + small index arrays)."""
+
+    statics: CompactStatics
+    bases: np.ndarray  # (n_chunks,) int32 window base row per chunk
+    s0_rel: np.ndarray  # (n_chunks * tpc,) int32 window-relative band starts
+
+
+def plan_compact(counts: np.ndarray, out_size: int) -> CompactPlan:
+    """Certify the banded placement for one block/group (host side).
+
+    counts: (n_segs,) exact per-segment byte counts, sum == out_size.
+    Raises ValueError when a segment exceeds MAX_ROW_BYTES or the certified
+    segment window cannot fit VMEM at any chunk size (caller falls back to
+    the XLA path).
     """
     counts = np.asarray(counts, np.int64)
     n_segs = counts.size
-    if out_size == 0 or n_segs == 0:
-        return jnp.zeros(out_size, jnp.uint8)
     if int(counts.max(initial=0)) > MAX_ROW_BYTES:
         raise ValueError(
             f"segment count exceeds {MAX_ROW_BYTES} bytes; use the XLA path"
         )
-    if packed.shape[0] > OFF_LANE:
-        # lanes OFF_LANE/CNT_LANE carry the per-segment metadata; the
-        # MAX_ROW_BYTES gate bounds real rank rows to 120 lanes anyway
-        raise ValueError("rank matrix would overlap the metadata lanes")
-
     ends = np.cumsum(counts)
     offs = ends - counts
     assert int(ends[-1]) == out_size, (int(ends[-1]), out_size)
@@ -134,54 +144,228 @@ def compact_ranks_device(
             f"segment window {s_cap} exceeds the VMEM budget ({_S_CAP_MAX}); "
             "use the XLA path"
         )
-    rows = _rows_lsb(packed)  # (n_segs_p, out_rows)
     s_pad = _round_up(max(n_segs, 1), 8) + s_cap
+
+    tpc = chunk_bytes // TILE_BYTES
+    n_tiles = _cdiv(out_size, TILE_BYTES)
+    bases = np.minimum(sc0, s_pad - s_cap).astype(np.int32)
+    s0_rel = np.zeros(n_chunks * tpc, np.int32)
+    tile_chunk = np.minimum(np.arange(n_tiles) // tpc, n_chunks - 1)
+    s0_rel[:n_tiles] = np.clip(
+        s_first_all.astype(np.int64) - bases[tile_chunk],
+        0, s_cap - band,
+    ).astype(np.int32)
+    return CompactPlan(
+        statics=CompactStatics(
+            out_size=int(out_size), n_segs=n_segs, band=band, s_cap=s_cap,
+            s_pad=s_pad, chunk_bytes=chunk_bytes, n_tiles=n_tiles,
+        ),
+        bases=bases,
+        s0_rel=s0_rel,
+    )
+
+
+def compact_plan_arrays(counts_dev: jnp.ndarray, *, statics: CompactStatics):
+    """Device (traceable) form of the plan's index arrays.
+
+    For pipelines whose counts are born on device (self-sync decode), the
+    host needs only the SCALAR half of the plan (band / s_cap / chunk size —
+    see `compact_scalars`); the per-chunk window bases and per-tile band
+    starts are recomputed here from the device counts so no O(n_segs)
+    metadata ever crosses the link.  Bit-identical to `plan_compact`'s
+    NumPy arrays for the same counts/statics (pinned by tests).
+    """
+    s = statics
+    cnt = counts_dev[: s.n_segs].astype(jnp.int32)
+    ends = jnp.cumsum(cnt, dtype=jnp.int32)
+    tpc = s.chunk_bytes // TILE_BYTES
+    n_chunks = _cdiv(s.out_size, s.chunk_bytes)
+    tile_lo = jnp.arange(s.n_tiles, dtype=jnp.int32) * TILE_BYTES
+    s_first = jnp.searchsorted(ends, tile_lo, side="right").astype(jnp.int32)
+    chunk_lo = jnp.arange(n_chunks, dtype=jnp.int32) * s.chunk_bytes
+    sc0 = jnp.searchsorted(ends, chunk_lo, side="right").astype(jnp.int32)
+    bases = jnp.minimum(sc0, s.s_pad - s.s_cap)
+    tile_chunk = jnp.minimum(
+        jnp.arange(s.n_tiles, dtype=jnp.int32) // tpc, n_chunks - 1
+    )
+    s0 = jnp.clip(s_first - bases[tile_chunk], 0, s.s_cap - s.band)
+    s0_rel = jnp.zeros(n_chunks * tpc, jnp.int32).at[: s.n_tiles].set(s0)
+    return bases, s0_rel
+
+
+def compact_scalars(counts_dev: jnp.ndarray, out_cap_bytes: int):
+    """Device (traceable) scalar half of the placement plan.
+
+    Returns a small int32 vector [band_raw, cap_raw(chunk_0), ...] — the
+    maximum per-4KB-tile segment overlap and, per candidate chunk size
+    (CHUNK_OUT_BYTES halving down to TILE_BYTES), the maximum per-chunk
+    segment-window width.  The caller pulls this (a dozen ints), picks the
+    largest feasible chunk exactly like `plan_compact`, and builds
+    `CompactStatics` host-side.  Tile/chunk grids are sized by
+    ``out_cap_bytes`` (a static upper bound on the output size); queries
+    past the true output see zero-width windows and do not perturb the max.
+    """
+    cnt = counts_dev.astype(jnp.int32)
+    ends = jnp.cumsum(cnt, dtype=jnp.int32)
+    offs = ends - cnt
+    out_size = ends[-1] if cnt.shape[0] else jnp.int32(0)
+    n_tiles_cap = _cdiv(max(out_cap_bytes, 1), TILE_BYTES)
+    tile_lo = jnp.arange(n_tiles_cap, dtype=jnp.int32) * TILE_BYTES
+    s_first = jnp.searchsorted(ends, tile_lo, side="right")
+    s_last = jnp.searchsorted(
+        offs, jnp.minimum(tile_lo + TILE_BYTES, out_size), side="left"
+    )
+    vals = [jnp.maximum(jnp.max(s_last - s_first), 1)]
+    chunk = CHUNK_OUT_BYTES
+    while True:
+        n_chunks_cap = _cdiv(max(out_cap_bytes, 1), chunk)
+        chunk_lo = jnp.arange(n_chunks_cap, dtype=jnp.int32) * chunk
+        sc0 = jnp.searchsorted(ends, chunk_lo, side="right")
+        sc1 = jnp.searchsorted(
+            offs, jnp.minimum(chunk_lo + chunk, out_size), side="left"
+        )
+        vals.append(jnp.max(sc1 - sc0))
+        if chunk <= TILE_BYTES:
+            break
+        chunk >>= 1
+    return jnp.stack(vals).astype(jnp.int32)
+
+
+def pick_chunk(scalars: np.ndarray):
+    """Host half of the device plan: given `compact_scalars` output, pick
+    the largest chunk size whose certified window fits the VMEM budget.
+
+    Returns (band, s_cap, chunk_bytes) or raises ValueError (caller falls
+    back to host compaction) — the same decision rule as `plan_compact`.
+    """
+    band_raw = int(scalars[0])
+    band = max(_round_up(band_raw, SUBLANES), SUBLANES)
+    chunk = CHUNK_OUT_BYTES
+    for cap_raw in scalars[1:]:
+        s_cap = _round_up(int(cap_raw) + band, 8)
+        if s_cap <= _S_CAP_MAX or chunk <= TILE_BYTES:
+            break
+        chunk >>= 1
+    if s_cap > _S_CAP_MAX:
+        raise ValueError(
+            f"segment window {s_cap} exceeds the VMEM budget ({_S_CAP_MAX})"
+        )
+    return band, s_cap, chunk
+
+
+def compact_apply(
+    packed: jnp.ndarray,
+    counts_dev: jnp.ndarray,
+    bases: jnp.ndarray,
+    s0_rel: jnp.ndarray,
+    symlo: jnp.ndarray,
+    symhi: jnp.ndarray,
+    *,
+    statics: CompactStatics,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Traceable device half of the placement: compose under the caller's jit.
+
+    Args:
+      packed: (out_rows, n_segs_p) int32 from `decode_ranks_pallas` (4 ranks
+        per word, LSB-first); out_rows <= 120.
+      counts_dev: (n_segs,) int32 device copy of the planned counts.
+      bases/s0_rel: device copies of plan.bases / plan.s0_rel.
+      symlo/symhi: (8, 128) int32 rank->symbol lane tables (`_sym_tiles`).
+
+    Returns a device (out_size,) uint8 array.
+    """
+    if packed.shape[0] > OFF_LANE:
+        # lanes OFF_LANE/CNT_LANE carry the per-segment metadata; the
+        # MAX_ROW_BYTES gate bounds real rank rows to 120 lanes anyway
+        raise ValueError("rank matrix would overlap the metadata lanes")
+    plan = statics
+    n_segs, s_pad = plan.n_segs, plan.s_pad
+
+    rows = _rows_lsb(packed)  # (n_segs_p, out_rows)
     r0 = min(rows.shape[0], s_pad)
 
-    symlo, symhi = _sym_tiles(np.asarray(symtab, np.uint8))
-
-    offs_pad = np.full(s_pad, out_size, np.int64)
-    offs_pad[:n_segs] = offs
-    counts_pad = np.zeros(s_pad, np.int64)
-    counts_pad[:n_segs] = counts
+    # per-segment output offsets from the device counts (cumsum): beyond the
+    # real segments counts are 0, so rows there mask to nothing wherever
+    # their (stale) offsets land
+    cnt_pad = jnp.zeros(s_pad, jnp.int32).at[:n_segs].set(
+        counts_dev[:n_segs].astype(jnp.int32)
+    )
+    ends = jnp.cumsum(cnt_pad, dtype=jnp.int32)
+    off_pad = ends - cnt_pad
 
     # rank rows with the per-segment metadata embedded in the spare lanes
     # (one array -> one window DMA per chunk in the kernel)
     rows = (
         jnp.zeros((s_pad, 128), jnp.int32)
         .at[:r0, : rows.shape[1]].set(rows[:r0])
-        .at[:, OFF_LANE].set(jnp.asarray(offs_pad.astype(np.int32)))
-        .at[:, CNT_LANE].set(jnp.asarray(counts_pad.astype(np.int32)))
+        .at[:, OFF_LANE].set(off_pad)
+        .at[:, CNT_LANE].set(cnt_pad)
     )
-
-    # ONE dispatch over a (chunk, tile) grid: the kernel DMAs each chunk's
-    # certified segment window from HBM at the prefetched base row.  (The
-    # per-chunk pallas_call form paid the host tunnel's ~29 ms dispatch
-    # floor once per 2 MiB of output — ~0.1 GB/s on 64 MB blocks.)
-    tpc = chunk_bytes // TILE_BYTES
-    n_tiles_total = _cdiv(out_size, TILE_BYTES)
-    bases = np.minimum(sc0, s_pad - s_cap).astype(np.int32)
-    s0_rel = np.zeros(n_chunks * tpc, np.int32)
-    tile_chunk = np.minimum(
-        np.arange(n_tiles_total) // tpc, n_chunks - 1
-    )
-    s0_rel[:n_tiles_total] = np.clip(
-        s_first_all.astype(np.int64) - bases[tile_chunk],
-        0, s_cap - band,
-    ).astype(np.int32)
 
     out_t = ragged_concat_pallas(
         rows,
-        jnp.asarray(bases),
-        jnp.asarray(s0_rel),
+        bases,
+        s0_rel,
         symlo,
         symhi,
-        band=band,
-        s_cap=s_cap,
-        chunk_bytes=chunk_bytes,
-        n_tiles=n_tiles_total,
+        band=plan.band,
+        s_cap=plan.s_cap,
+        chunk_bytes=plan.chunk_bytes,
+        n_tiles=plan.n_tiles,
         interpret=interpret,
     )
-    words = out_t[:n_tiles_total].reshape(-1)
+    words = out_t[: plan.n_tiles].reshape(-1)
     out = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1)
-    return out[:out_size]
+    return out[: plan.out_size]
+
+
+@functools.partial(jax.jit, static_argnames=("statics", "interpret"))
+def _compact_jit(packed, counts_dev, bases, s0_rel, symlo, symhi, *, statics,
+                 interpret):
+    return compact_apply(
+        packed, counts_dev, bases, s0_rel, symlo, symhi, statics=statics,
+        interpret=interpret,
+    )
+
+
+def compact_ranks_device(
+    packed: jnp.ndarray,
+    counts: np.ndarray,
+    symtab: np.ndarray,
+    out_size: int,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Place + permute decoded ranks into the final byte stream, on device.
+
+    One-call form (plan + single jitted apply = ONE device dispatch).  For
+    zero extra dispatches fuse `compact_apply` with the producer under one
+    jit instead (see `decode_kernel.decode_blocks_pallas`).
+
+    Args:
+      packed: (out_rows, n_segs_p) int32 from `decode_ranks_pallas` (4 ranks
+        per word, LSB-first).
+      counts: (n_segs,) HOST symbol counts (sum == out_size).
+      symtab: (num_symbols,) canonical rank -> symbol.
+      out_size: total output bytes.
+
+    Returns a device (out_size,) uint8 array.  Raises ValueError when a
+    segment exceeds MAX_ROW_BYTES or the certified segment window cannot fit
+    VMEM at any chunk size (caller falls back to the XLA path).
+    """
+    counts = np.asarray(counts, np.int64)
+    if out_size == 0 or counts.size == 0:
+        return jnp.zeros(out_size, jnp.uint8)
+    plan = plan_compact(counts, out_size)
+    symlo, symhi = _sym_tiles(np.asarray(symtab, np.uint8))
+    return _compact_jit(
+        packed,
+        jnp.asarray(counts.astype(np.int32)),
+        jnp.asarray(plan.bases),
+        jnp.asarray(plan.s0_rel),
+        symlo,
+        symhi,
+        statics=plan.statics,
+        interpret=interpret,
+    )

@@ -171,7 +171,17 @@ def count_segments(
     def step(carry, _):
         pos, cnt = carry
         window = extract_window32(words, pos)
-        _, ln = _decode_step(window, dec, spec, method)
+        if method == "canonical":
+            # counting needs lengths only: the pure compare chain, no
+            # symbol gathers at all (fully vectorized on TPU)
+            ln = jnp.ones_like(window, jnp.int32) * spec.min_len
+            chain = spec.chain or tuple(
+                (l, 1) for l in range(spec.min_len, spec.max_len)
+            )
+            for (l, wt) in chain:
+                ln = ln + jnp.where(window >= dec.lim_left[l], wt, 0)
+        else:
+            _, ln = _decode_step(window, dec, spec, method)
         active = pos < seg_ends
         pos = pos + jnp.where(active, ln, 0)
         cnt = cnt + active.astype(jnp.int32)

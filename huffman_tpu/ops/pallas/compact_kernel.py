@@ -76,7 +76,7 @@ def _cdiv(a, b):
 
 
 def _kernel(base_ref, s0_ref, rows_hbm, symlo_ref, symhi_ref, out_ref,
-            win, sem, *, band, s_cap, tpc, chunk_bytes):
+            win, sem, *, band, s_cap, tpc, tps, chunk_bytes):
     c = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -90,61 +90,67 @@ def _kernel(base_ref, s0_ref, rows_hbm, symlo_ref, symhi_ref, out_ref,
         dma.start()
         dma.wait()
 
-    k0 = c * chunk_bytes + i * TILE_BYTES  # tile base byte (absolute)
-    s0 = s0_ref[c * tpc + i]  # band start, window-relative (host-clipped)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
     u32 = jnp.uint32
 
-    acc = jnp.zeros((SUBLANES, LANES), jnp.int32)
-    for g in range(band // SUBLANES):
-        base = s0 + g * SUBLANES
-        row = win[pl.ds(base, SUBLANES), :]  # (8, 128) int32 LSB-first
-        off8 = jax.lax.slice_in_dim(row, OFF_LANE, OFF_LANE + 1, axis=1)
-        cnt8 = jax.lax.slice_in_dim(row, CNT_LANE, CNT_LANE + 1, axis=1)
+    # ``tps`` output tiles per grid step: a one-tile step writes only 4 KB,
+    # and per-step grid overhead at 16K steps/64 MB dwarfed the vector work
+    for t in range(tps):
+        k0 = c * chunk_bytes + (i * tps + t) * TILE_BYTES  # tile base byte
+        s0 = s0_ref[c * tpc + i * tps + t]  # band start, window-relative
 
-        # byte-mask to the segment's true count (bytes t < cnt survive)
-        c4 = cnt8 >> 2
-        rem = cnt8 & 3
-        partial = (1 << (8 * rem)) - 1  # rem=0 -> 0
-        mask = jnp.where(
-            iota_l < c4, -1, jnp.where(iota_l == c4, partial, 0)
-        )
-        row = row & mask
+        acc = jnp.zeros((SUBLANES, LANES), jnp.int32)
+        for g in range(band // SUBLANES):
+            base = s0 + g * SUBLANES
+            row = win[pl.ds(base, SUBLANES), :]  # (8, 128) int32 LSB-first
+            off8 = jax.lax.slice_in_dim(row, OFF_LANE, OFF_LANE + 1, axis=1)
+            cnt8 = jax.lax.slice_in_dim(row, CNT_LANE, CNT_LANE + 1, axis=1)
 
-        # byte-rotate to the output alignment a = d & 3 (LSB-first stream:
-        # byte p of a word lives at bits [8p, 8p+8))
-        d = off8 - k0  # output byte position of the row's first byte
-        a = d & 3
-        au = a.astype(u32)
-        cur = pltpu.bitcast(row, u32)
-        prev = jnp.where(iota_l == 0, 0, pltpu.bitcast(jnp.roll(row, 1, axis=1), u32))
-        shifted = (cur << (8 * au)) | (
-            (prev >> u32(1)) >> (8 * (u32(4) - au) - u32(1))
-        )
+            # byte-mask to the segment's true count (bytes t < cnt survive)
+            c4 = cnt8 >> 2
+            rem = cnt8 & 3
+            partial = (1 << (8 * rem)) - 1  # rem=0 -> 0
+            mask = jnp.where(
+                iota_l < c4, -1, jnp.where(iota_l == c4, partial, 0)
+            )
+            row = row & mask
 
-        # lane-roll to the output word offset; split across the two frames
-        q = d >> 2  # floor; a == d & 3 consumed above
-        qm = q & (LANES - 1)
-        f = q >> 7  # output frame (sublane row) of the unwrapped part
-        idx = (iota_l - qm) & (LANES - 1)
-        rolled = pltpu.bitcast(
-            jnp.take_along_axis(shifted, idx, axis=1), jnp.int32
-        )
-        lo = jnp.where(iota_l >= qm, rolled, 0)
-        hi = rolled - lo
-        frame_rows = []
-        for r in range(SUBLANES):
-            sel = jnp.where(f == r, lo, 0) + jnp.where(f == r - 1, hi, 0)
-            frame_rows.append(jnp.sum(sel, axis=0, keepdims=True))
-        acc = acc + jnp.concatenate(frame_rows, axis=0)
+            # byte-rotate to the output alignment a = d & 3 (LSB-first
+            # stream: byte p of a word lives at bits [8p, 8p+8))
+            d = off8 - k0  # output byte position of the row's first byte
+            a = d & 3
+            au = a.astype(u32)
+            cur = pltpu.bitcast(row, u32)
+            prev = jnp.where(
+                iota_l == 0, 0, pltpu.bitcast(jnp.roll(row, 1, axis=1), u32)
+            )
+            shifted = (cur << (8 * au)) | (
+                (prev >> u32(1)) >> (8 * (u32(4) - au) - u32(1))
+            )
 
-    # canonical ranks -> symbols, byte lane by byte lane
-    out = jnp.zeros((SUBLANES, LANES), jnp.int32)
-    for b in range(4):
-        rk = (acc >> (8 * b)) & 255
-        sym = _lane_lookup(symlo_ref[:], symhi_ref[:], rk)
-        out = out | (sym << (8 * b))
-    out_ref[0] = out
+            # lane-roll to the output word offset; split across the frames
+            q = d >> 2  # floor; a == d & 3 consumed above
+            qm = q & (LANES - 1)
+            f = q >> 7  # output frame (sublane row) of the unwrapped part
+            idx = (iota_l - qm) & (LANES - 1)
+            rolled = pltpu.bitcast(
+                jnp.take_along_axis(shifted, idx, axis=1), jnp.int32
+            )
+            lo = jnp.where(iota_l >= qm, rolled, 0)
+            hi = rolled - lo
+            frame_rows = []
+            for r in range(SUBLANES):
+                sel = jnp.where(f == r, lo, 0) + jnp.where(f == r - 1, hi, 0)
+                frame_rows.append(jnp.sum(sel, axis=0, keepdims=True))
+            acc = acc + jnp.concatenate(frame_rows, axis=0)
+
+        # canonical ranks -> symbols, byte lane by byte lane
+        out = jnp.zeros((SUBLANES, LANES), jnp.int32)
+        for b in range(4):
+            rk = (acc >> (8 * b)) & 255
+            sym = _lane_lookup(symlo_ref[:], symhi_ref[:], rk)
+            out = out | (sym << (8 * b))
+        out_ref[t] = out
 
 
 @functools.partial(
@@ -182,14 +188,16 @@ def ragged_concat_pallas(
     assert band % SUBLANES == 0 and band > 0
     assert chunk_bytes % TILE_BYTES == 0
     tpc = chunk_bytes // TILE_BYTES
+    tps = min(16, tpc)  # output tiles per grid step (tpc is a power of 2)
     n_chunks = bases.shape[0]
     assert s0.shape[0] == n_chunks * tpc
     kern = functools.partial(
-        _kernel, band=band, s_cap=s_cap, tpc=tpc, chunk_bytes=chunk_bytes
+        _kernel, band=band, s_cap=s_cap, tpc=tpc, tps=tps,
+        chunk_bytes=chunk_bytes,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_chunks, tpc),
+        grid=(n_chunks, tpc // tps),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((SUBLANES, LANES), lambda c, i, b, s: (0, 0),
@@ -198,7 +206,8 @@ def ragged_concat_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, SUBLANES, LANES), lambda c, i, b, s: (c * tpc + i, 0, 0),
+            (tps, SUBLANES, LANES),
+            lambda c, i, b, s: (c * (tpc // tps) + i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[

@@ -7,15 +7,18 @@ forced (and enabled) by the hardware:
 - *one segment per VPU lane*, 1024 segments per grid program laid out as an
   (8, 128) vreg, all decoding in lock-step — versus one CUDA thread per
   segment;
-- the bit window is a 64-bit shift register per lane (``hi``/``lo`` uint32
-  pairs).  Each decoded symbol consumes <= max_len (16) bits, so ONE masked
-  32-bit refill per TWO symbols maintains the invariant ``valid >= 33``.
-  The refill is a one-hot select over the segment's word rows (sublane
-  gathers don't exist on TPU; lane-dim ``take_along_axis`` does and is used
-  for the per-length bias table);
-- code length comes from canonical-limit compares (``len = 1 +
-  #{l: win >= lim[l]}``, <= 15 scalar-broadcast compares) instead of a LUT
-  probe — no 2^16-entry gather in the inner loop;
+- the bit register is 128 bits per lane with a lazy 64-bit decode window
+  (the flagship ILS discipline, `ils_kernels.py::_decode_kernel`): only the
+  window shifts per symbol, the buffer half catches up once per 4 symbols,
+  and ONE pair-granular (64-bit) one-hot refill per FOUR symbols maintains
+  ``valid >= 65`` at every quad start — half the refill events and half the
+  one-hot candidates of word-granular refilling (sublane gathers don't
+  exist on TPU; lane-dim ``take_along_axis`` is used only for the
+  per-length bias table);
+- code length comes from the grouped canonical compare chain
+  (`core/canonical.py::chain_spec` — one weighted compare per DISTINCT
+  limit, tree-reduced) instead of a LUT probe — no 2^16-entry gather in
+  the inner loop;
 - the kernel emits canonical *ranks* (4 packed per int32); the symbol
   permutation and the variable-count compaction are one fused XLA gather
   afterwards — where the reference needs atomicOr for ragged boundary words
@@ -41,7 +44,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..tables import DecSpec, DeviceDecTable
 
-__all__ = ["decode_block_pallas", "decode_blocks_pallas", "decode_ranks_pallas"]
+__all__ = [
+    "decode_block_pallas",
+    "decode_blocks_pallas",
+    "decode_ranks_pallas",
+    "fused_planned_decode",
+]
 
 LANES = 128
 SUBLANES = 8
@@ -52,85 +60,181 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _kernel(lim_ref, bias_ref, gaps_ref, counts_ref, segw_ref, out_ref, *, rows, max_len):
-    """One tile: decode TILE_SEGS segments, 4 symbols per loop iteration."""
+def _kernel(lim_ref, bias_ref, gaps_ref, counts_ref, segw_ref, out_ref, *,
+            rows, max_len, min_len, chain):
+    """One tile: decode TILE_SEGS segments with the flagship's register
+    discipline (VERDICT r3 item 1): a 128-bit register per lane whose low
+    half is a lazy 64-bit decode window (only the window shifts per symbol;
+    the buffer catches up once per 4 symbols), ONE pair-granular refill per
+    4 symbols (the one-hot candidate count is per *pair*, and the event rate
+    is half that of word refills — most of the old refill cost), and the
+    grouped compare chain (`core/canonical.py::chain_spec`) for the length
+    decode.  16 symbols per loop iteration."""
     segw = segw_ref[:]  # (rows, 8, 128) int32 (bit patterns of u32 words)
-    gap = gaps_ref[:]  # (8, 128) int32
-    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (rows, SUBLANES, LANES), 0)
+    gap = gaps_ref[:]  # (8, 128) int32, in [0, 31]
 
     u32 = jnp.uint32
-    w0 = pltpu.bitcast(segw[0], u32)
-    w1 = pltpu.bitcast(segw[1], u32)
+    shape = (SUBLANES, LANES)
+    n_pairs = rows // 2
+
     gsh = gap.astype(u32)
-    hi = (w0 << gsh) | ((w1 >> u32(1)) >> (u32(31) - gsh))
-    lo = w1 << gsh
-    valid = 64 - gap
-    wptr = jnp.full((SUBLANES, LANES), 2, jnp.int32)
+    w = [pltpu.bitcast(segw[j], u32) for j in range(4)]
+
+    def algn(a, b):
+        # (a, b) << gap with gap in [0, 31] (guarded >= 32-safe shift)
+        return (a << gsh) | ((b >> u32(1)) >> (u32(31) - gsh))
+
+    a0 = algn(w[0], w[1])
+    a1 = algn(w[1], w[2])
+    s2 = algn(w[2], w[3])
+    s3 = w[3] << gsh
+    valid = 128 - gap
+    pptr = jnp.full(shape, 2, jnp.int32)
 
     tile_max = jnp.max(counts_ref[:])
-    # 4x unrolled loop (fori_loop per-iteration overhead dominates); lanes
-    # free-run past their counts by design, so the rounded-up trip count
-    # only decodes more discarded garbage.
-    iters = ((tile_max + 15) >> 4)
+    # lanes free-run past their counts by design, so the rounded-up trip
+    # count only decodes more discarded garbage
+    iters = (tile_max + 15) >> 4
 
-    def decode_one(hi, lo, valid):
-        win = hi
-        ln = jnp.ones((SUBLANES, LANES), jnp.int32)
-        for l in range(1, max_len):
-            ln = ln + (win >= lim_ref[0, l]).astype(jnp.int32)
+    def _chain_len(win):
+        # grouped canonical compare chain: one weighted compare per DISTINCT
+        # decode limit, tree-reduced (same scheme as the ILS decoder; +7%
+        # measured there)
+        if chain is not None:
+            flags = [
+                (win >= lim_ref[0, l]).astype(jnp.int32)
+                if wt == 1
+                else jnp.where(win >= lim_ref[0, l], wt, 0)
+                for (l, wt) in chain
+            ]
+        else:
+            flags = [
+                (win >= lim_ref[0, l]).astype(jnp.int32)
+                for l in range(min_len, max_len)
+            ]
+        while len(flags) > 1:
+            nxt = [a + b for a, b in zip(flags[::2], flags[1::2])]
+            if len(flags) % 2:
+                nxt.append(flags[-1])
+            flags = nxt
+        return min_len + flags[0] if flags else jnp.full(shape, min_len, jnp.int32)
+
+    def decode_one_lazy(a0, a1):
+        # decoded lengths are >= min_len >= 1, so `win >> (32 - ln)` is a
+        # defined shift; canonical compare is tail-agnostic, so the 64-bit
+        # window alone decodes a max-length codeword correctly (it holds
+        # >= 64 - 48 = 16 real bits at the 4th symbol)
+        win = a0
+        ln = _chain_len(win)
         lns = ln.astype(u32)
         value = (win >> (u32(32) - lns)).astype(jnp.int32)
         rank = jnp.take_along_axis(bias_ref[:], ln, axis=1) + value
-        hi = (hi << lns) | ((lo >> u32(1)) >> (u32(31) - lns))
-        lo = lo << lns
-        valid = valid - ln
-        return hi, lo, valid, rank & 255
+        a0 = (a0 << lns) | (a1 >> (u32(32) - lns))
+        a1 = a1 << lns
+        return a0, a1, ln, rank & 255
 
-    def refill(hi, lo, valid, wptr):
-        need = valid <= 32
-        sel = jnp.where(iota_rows == wptr[None], segw, 0)
-        word = pltpu.bitcast(jnp.sum(sel, axis=0), u32)
-        word = jnp.where(need, word, u32(0))
-        vsh = valid.astype(u32)
-        # insert 32 bits at offset `valid` of the 64-bit (hi, lo) register;
-        # valid in [1, 32] whenever need is true, and word == 0 otherwise.
-        hi = hi | ((word >> u32(1)) >> ((vsh - u32(1)) & u32(31)))
-        lo = lo | (word << ((u32(32) - vsh) & u32(31)))
-        valid = valid + jnp.where(need, 32, 0)
-        wptr = wptr + need.astype(jnp.int32)
-        return hi, lo, valid, wptr
+    def catch_up(a0, a1, s2, s3, l4):
+        """Move the quad's consumed bit count l4 (4*min_len..64) from the
+        buffer (s2, s3) into the vacated low bits of the window; buffer
+        shifts left by l4 (ILS `catch_up`, `ils_kernels.py`)."""
+        t2 = 64 - l4
+        um = (t2 & 31).astype(u32)
+        ub = t2 >= 32
+        xhi = jnp.where(ub, u32(0), s2 >> um)
+        xlo = jnp.where(
+            ub, s2 >> um, ((s2 << u32(1)) << (u32(31) - um)) | (s3 >> um)
+        )
+        a0 = a0 | xhi
+        a1 = a1 | xlo
+        rm = (l4 & 31).astype(u32)
+        rb = l4 >= 32
+        s2n = jnp.where(
+            rb,
+            jnp.where(l4 >= 64, u32(0), s3 << rm),
+            (s2 << rm) | ((s3 >> u32(1)) >> (u32(31) - rm)),
+        )
+        s3n = jnp.where(rb, u32(0), s3 << rm)
+        return a0, a1, s2n, s3n
 
-    def quad(hi, lo, valid, wptr):
-        hi, lo, valid, r0 = decode_one(hi, lo, valid)
-        hi, lo, valid, r1 = decode_one(hi, lo, valid)
-        hi, lo, valid, wptr = refill(hi, lo, valid, wptr)
-        hi, lo, valid, r2 = decode_one(hi, lo, valid)
-        hi, lo, valid, r3 = decode_one(hi, lo, valid)
-        hi, lo, valid, wptr = refill(hi, lo, valid, wptr)
-        pack = (r0 << 24) | (r1 << 16) | (r2 << 8) | r3
-        return hi, lo, valid, wptr, pack
+    def gather_pair(need, pptr):
+        """Full-range one-hot gather of pair `pptr` from the lane's segment
+        words; out-of-range pptr (free-running lanes) selects zeros."""
+        w0 = jnp.zeros(shape, jnp.int32)
+        w1 = jnp.zeros(shape, jnp.int32)
+        for q in range(2, n_pairs):  # pairs 0-1 are preloaded at init
+            m = pptr == q
+            w0 = w0 | jnp.where(m, segw[2 * q], 0)
+            w1 = w1 | jnp.where(m, segw[2 * q + 1], 0)
+        w0 = jnp.where(need, pltpu.bitcast(w0, u32), u32(0))
+        w1 = jnp.where(need, pltpu.bitcast(w1, u32), u32(0))
+        return w0, w1
+
+    def pair_refill_lazy(a0, a1, s2, s3, valid, pptr):
+        # after catch_up the packed invariant holds: when valid <= 64 the
+        # buffer is empty, so the fresh pair P splits cleanly — P >> valid
+        # tops up the window, P << (64 - valid) becomes the new buffer
+        need = valid <= 64
+        w0, w1 = gather_pair(need, pptr)
+        qhi = w0 >> u32(1)
+        qlo = (w0 << u32(31)) | (w1 >> u32(1))
+        u = valid - 1
+        um = (u & 31).astype(u32)
+        ub = u >= 32
+        xhi = jnp.where(ub, u32(0), qhi >> um)
+        xlo = jnp.where(
+            ub, qhi >> um, ((qhi << u32(1)) << (u32(31) - um)) | (qlo >> um)
+        )
+        a0 = a0 | xhi  # w0/w1 are zero when !need, so this is a no-op then
+        a1 = a1 | xlo
+        t = 64 - valid
+        tm = (t & 31).astype(u32)
+        tb = t >= 32
+        s2n = jnp.where(
+            tb, w1 << tm, (w0 << tm) | ((w1 >> u32(1)) >> (u32(31) - tm))
+        )
+        s3n = jnp.where(tb, u32(0), w1 << tm)
+        s2 = jnp.where(need, s2n, s2)
+        s3 = jnp.where(need, s3n, s3)
+        valid = valid + jnp.where(need, 64, 0)
+        pptr = pptr + need.astype(jnp.int32)
+        return a0, a1, s2, s3, valid, pptr
+
+    def quad(a0, a1, s2, s3, valid, pptr):
+        a0, a1, l0, r0 = decode_one_lazy(a0, a1)
+        a0, a1, l1, r1 = decode_one_lazy(a0, a1)
+        a0, a1, l2, r2 = decode_one_lazy(a0, a1)
+        a0, a1, l3, r3 = decode_one_lazy(a0, a1)
+        l4 = l0 + l1 + l2 + l3
+        a0, a1, s2, s3 = catch_up(a0, a1, s2, s3, l4)
+        valid = valid - l4
+        a0, a1, s2, s3, valid, pptr = pair_refill_lazy(
+            a0, a1, s2, s3, valid, pptr
+        )
+        # LSB-first pack: the placement kernel consumes little-endian byte
+        # rows, so packing in stream order here deletes the byteswap from
+        # the (out_rows, S) -> (S, out_rows) transpose stage
+        pack = r0 | (r1 << 8) | (r2 << 16) | (r3 << 24)
+        return a0, a1, s2, s3, valid, pptr, pack
 
     def body(j, carry):
-        hi, lo, valid, wptr = carry
+        a0, a1, s2, s3, valid, pptr = carry
         packs = []
         for _ in range(4):
-            hi, lo, valid, wptr, pk = quad(hi, lo, valid, wptr)
+            a0, a1, s2, s3, valid, pptr, pk = quad(a0, a1, s2, s3, valid, pptr)
             packs.append(pk)
         out_ref[pl.ds(4 * j, 4)] = jnp.stack(packs)
-        return (hi, lo, valid, wptr)
+        return (a0, a1, s2, s3, valid, pptr)
 
-    jax.lax.fori_loop(0, iters, body, (hi, lo, valid, wptr), unroll=False)
+    jax.lax.fori_loop(
+        0, iters, body, (a0, a1, s2, s3, valid, pptr), unroll=False
+    )
 
 
 def _interpret_default() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("spec", "seg_bits", "n_segs", "max_count", "interpret"),
-)
-def decode_ranks_pallas(
+def _ranks_traceable(
     words: jnp.ndarray,
     gaps: jnp.ndarray,
     counts: jnp.ndarray,
@@ -142,16 +246,10 @@ def decode_ranks_pallas(
     max_count: int,
     interpret: bool = False,
 ):
-    """Run the decode kernel; returns packed ranks (rows, n_segs_padded) i32
-    with 4 ranks per int32 (MSB-first within the word).
-
-    Args:
-      words: (W,) uint32 payload (any padding beyond total_bits is fine).
-      gaps/counts: (n_segs_cap,) int32 with real data in [:n_segs].
-      n_segs: number of real segments (static).
-      max_count: static bound >= max(counts).
-    """
+    """Traceable body of `decode_ranks_pallas` (compose under a caller jit)."""
     wps = seg_bits // 32
+    if wps < 4:
+        raise ValueError("decode_ranks_pallas requires seg_bits >= 128")
     rows = wps + 2
     tiles = _cdiv(n_segs, TILE_SEGS)
     n_segs_p = tiles * TILE_SEGS
@@ -184,7 +282,10 @@ def decode_ranks_pallas(
         dec.lim_left
     )
 
-    kern = functools.partial(_kernel, rows=rows, max_len=spec.max_len)
+    kern = functools.partial(
+        _kernel, rows=rows, max_len=spec.max_len,
+        min_len=max(min(spec.min_len, spec.max_len), 1), chain=spec.chain,
+    )
     packed = pl.pallas_call(
         kern,
         grid=(tiles,),
@@ -208,6 +309,65 @@ def decode_ranks_pallas(
     return packed.reshape(out_rows, n_segs_p)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "seg_bits", "n_segs", "max_count", "interpret"),
+)
+def decode_ranks_pallas(
+    words: jnp.ndarray,
+    gaps: jnp.ndarray,
+    counts: jnp.ndarray,
+    dec: DeviceDecTable,
+    *,
+    spec: DecSpec,
+    seg_bits: int,
+    n_segs: int,
+    max_count: int,
+    interpret: bool = False,
+):
+    """Run the decode kernel; returns packed ranks (rows, n_segs_padded) i32
+    with 4 ranks per int32 (LSB-first within the word).
+
+    Args:
+      words: (W,) uint32 payload (any padding beyond total_bits is fine).
+      gaps/counts: (n_segs_cap,) int32 with real data in [:n_segs].
+      n_segs: number of real segments (static).
+      max_count: static bound >= max(counts).
+    """
+    return _ranks_traceable(
+        words, gaps, counts, dec, spec=spec, seg_bits=seg_bits,
+        n_segs=n_segs, max_count=max_count, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "seg_bits", "n_segs", "max_count", "statics", "interpret"
+    ),
+)
+def fused_planned_decode(
+    words, gaps, counts, symlo, symhi, dec, *, spec, seg_bits, n_segs,
+    max_count, statics, interpret=False,
+):
+    """ONE dispatch: ranks kernel + device-computed placement index arrays
+    + placement kernel, for pipelines whose counts are born on device
+    (self-sync; gap-only reference containers).  The host supplies only the
+    scalar plan (`ops/compact.py::pick_chunk` over `compact_scalars`
+    output); the O(n_segs) bases/starts never cross the link."""
+    from ...ops.compact import compact_apply, compact_plan_arrays
+
+    packed = _ranks_traceable(
+        words, gaps, counts, dec, spec=spec, seg_bits=seg_bits,
+        n_segs=n_segs, max_count=max_count, interpret=interpret,
+    )
+    bases, s0_rel = compact_plan_arrays(counts, statics=statics)
+    return compact_apply(
+        packed, counts, bases, s0_rel, symlo, symhi, statics=statics,
+        interpret=interpret,
+    )
+
+
 #: output bytes per batched dispatch: the rank matrix, its transpose and
 #: the band-padded rows copy all scale with the group's TOTAL output, so an
 #: unbounded group would put several x the file size on device at once
@@ -216,15 +376,21 @@ GROUP_OUT_BYTES = 1 << 26  # 64 MiB
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "seg_bits", "n_segs_b", "max_count", "interpret"),
+    static_argnames=(
+        "spec", "seg_bits", "n_segs_b", "max_count", "statics", "interpret"
+    ),
 )
-def _ranks_blocks(
-    words2d, gaps_flat, counts_flat, dec, *, spec, seg_bits, n_segs_b,
-    max_count, interpret,
+def _fused_blocks(
+    words2d, gaps_flat, counts_flat, bases, s0_rel, symlo, symhi, dec, *,
+    spec, seg_bits, n_segs_b, max_count, statics, interpret,
 ):
-    """Pad each block's payload row to its segment grid, flatten, decode —
-    one fused dispatch (eager staging would pay the tunnel's ~29 ms
-    dispatch floor two extra times per group)."""
+    """The ENTIRE group decode — pad payload rows to the segment grid, ranks
+    kernel, LSB transpose, row assembly, placement kernel — as ONE jitted
+    program (one device dispatch).  Through the TPU tunnel each eager
+    staging op costs the ~29 ms dispatch floor; the r03 per-stage form spent
+    ~135 of its 138 ms/64 MB on those floors."""
+    from ...ops.compact import compact_apply
+
     g, w = words2d.shape
     wps = seg_bits // 32
     w_pad = n_segs_b * wps
@@ -235,9 +401,13 @@ def _ranks_blocks(
         .set(words2d[:, :n_copy])
         .reshape(-1)
     )
-    return decode_ranks_pallas(
+    packed = _ranks_traceable(
         words_flat, gaps_flat, counts_flat, dec, spec=spec,
         seg_bits=seg_bits, n_segs=g * n_segs_b, max_count=max_count,
+        interpret=interpret,
+    )
+    return compact_apply(
+        packed, counts_flat, bases, s0_rel, symlo, symhi, statics=statics,
         interpret=interpret,
     )
 
@@ -290,13 +460,16 @@ def decode_blocks_pallas(
     """
     import numpy as np
 
-    from ..compact import compact_ranks_device
+    from ..compact import _sym_tiles, plan_compact
     from .compact_kernel import TILE_BYTES
 
     g, n_segs = gaps.shape
+    if out_size == 0 or n_segs == 0:
+        return jnp.zeros((g, out_size), jnp.uint8)
     words = jnp.asarray(words)
     gaps_h = np.ascontiguousarray(gaps, np.int32)
     counts_h = np.ascontiguousarray(counts, np.int64)
+    symlo, symhi = _sym_tiles(np.asarray(symtab, np.uint8))
 
     if out_size % TILE_BYTES == 0 and out_size <= GROUP_OUT_BYTES:
         gg = max(GROUP_OUT_BYTES // max(out_size, 1), 1)
@@ -307,19 +480,22 @@ def decode_blocks_pallas(
     for lo in range(0, g, gg):
         hi = min(lo + gg, g)
         cf = counts_h[lo:hi].reshape(-1)
-        packed = _ranks_blocks(
+        plan = plan_compact(cf, (hi - lo) * out_size)
+        out = _fused_blocks(
             words[lo:hi],
             jnp.asarray(gaps_h[lo:hi].reshape(-1)),
             jnp.asarray(cf.astype(np.int32)),
+            jnp.asarray(plan.bases),
+            jnp.asarray(plan.s0_rel),
+            symlo,
+            symhi,
             dec,
             spec=spec,
             seg_bits=seg_bits,
             n_segs_b=n_segs,
             max_count=max_count,
+            statics=plan.statics,
             interpret=interpret,
-        )
-        out = compact_ranks_device(
-            packed, cf, symtab, (hi - lo) * out_size, interpret=interpret
         )
         pieces.append(out.reshape(hi - lo, out_size))
     return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)

@@ -13,7 +13,12 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.canonical import CodeTable, build_flat_lut, build_two_level_table
+from ..core.canonical import (
+    CodeTable,
+    build_flat_lut,
+    build_two_level_table,
+    chain_spec,
+)
 
 __all__ = [
     "DeviceEncTable",
@@ -70,6 +75,10 @@ class DecSpec:
     min_len: int  # shallowest occupied level
     prefix_bits: int = 0  # two-level L1 width (0: table lacks L1/L2 form)
     l1_boundary: int = 0  # first L1 index owned by long codes
+    # grouped compare-chain spec (`core/canonical.py::chain_spec`): one
+    # (level, weight) pair per distinct decode limit; None = dense chain.
+    # Exact only for decodes starting at min_len (all current kernels do).
+    chain: tuple | None = None
 
 
 def device_enc_table(table: CodeTable) -> DeviceEncTable:
@@ -107,6 +116,7 @@ def dec_spec(table: CodeTable, lut_bits: int | None = None) -> DecSpec:
         min_len=max(table.min_len, 1),
         prefix_bits=p,
         l1_boundary=_two_level_boundary(table, p),
+        chain=chain_spec(table),
     )
 
 

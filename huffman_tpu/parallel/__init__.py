@@ -9,9 +9,13 @@ from .ils import (
     shard_ils_payload,
     make_ils_sharded_decode,
     make_ils_sharded_roundtrip,
+    ils_sharded_certified_encode,
+    IlsShardedSection,
 )
 
 __all__ = [
+    "ils_sharded_certified_encode",
+    "IlsShardedSection",
     "data_mesh",
     "DATA_AXIS",
     "Mesh",

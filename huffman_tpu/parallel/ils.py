@@ -26,13 +26,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mesh import DATA_AXIS, Mesh, P
-from ..core.ils_ref import ils_n_win
-from ..ops.pallas.ils_kernels import ils_decode, ils_pack
+from ..core.ils_ref import IlsParams, ils_n_win, ils_schedule_numer
+from ..ops.pallas.ils_kernels import (
+    ils_compact,
+    ils_decode,
+    ils_pack,
+    ils_pack_certify,
+)
 
 __all__ = [
     "shard_ils_payload",
     "make_ils_sharded_decode",
     "make_ils_sharded_roundtrip",
+    "ils_sharded_certified_encode",
+    "IlsShardedSection",
 ]
 
 
@@ -79,16 +86,18 @@ def make_ils_sharded_decode(
     w_band: int,
     max_len: int,
     tiles_per_device: int,
+    min_len: int = 1,
     rot: bool = False,
     chain: tuple | None = None,
     interpret: bool = False,
 ):
     """Jitted sharded ILS decode.
 
-    Returns fn(payload_dev, starts_dev, params, boffs_dev, dec) ->
-    (D*T/D*k//4, 8, 128) int32 sharded over the leading axis — reshape(-1)
-    is the original u32 stream in order.  boffs_dev is
-    (D, tiles_per_device, n_win) windowed band anchors.
+    Returns ONE jitted fn(payload_dev, starts_dev, params, boffs_dev, dec)
+    -> (D, T/D * k//4, 8, 128) int32 sharded over the leading axis —
+    reshape(-1, 8, 128) stacks devices' tiles in order, whose u32 view is
+    the original stream.  boffs_dev is (D, tiles_per_device, n_win)
+    windowed band anchors.
     """
 
     @functools.partial(
@@ -110,21 +119,149 @@ def make_ils_sharded_decode(
             w_cap=w_cap,
             w_band=w_band,
             max_len=max_len,
-            n_tiles=tiles_per_device,
+            min_len=min_len,  # the grouped chain is exact only from the
+            n_tiles=tiles_per_device,  # table's own min_len
             rot=rot,
             chain=chain,
             interpret=interpret,
         )
         return out[None]
 
-    dec_jit = jax.jit(dec_fn)
+    return jax.jit(dec_fn)
 
-    def fn(payload_dev, starts_dev, params, boffs_dev, dec):
-        d, t = payload_dev.shape[0], tiles_per_device
-        out = dec_jit(payload_dev, starts_dev, params, boffs_dev, dec)
-        return out.reshape(d * t * (k // 4), 8, 128)
 
-    return dec_jit, fn
+class IlsShardedSection:
+    """Device-sharded certified section: per-device compact payload + the
+    global certified params (uniform w_cap/w_band across devices)."""
+
+    def __init__(self, payload_dev, starts_dev, params: IlsParams):
+        self.payload_dev = payload_dev  # (D, R_dev, 8, 128) int32
+        self.starts_dev = starts_dev  # (D, T/D) int32 local row starts
+        self.params = params  # global; boffs is (D*T/D, n_win)
+
+
+def ils_sharded_certified_encode(
+    mesh: Mesh,
+    data_dev,
+    enc,
+    *,
+    k: int,
+    max_len: int,
+    avg_bits: float,
+    tiles_per_device: int,
+    rot: bool = False,
+    interpret: bool = False,
+) -> IlsShardedSection:
+    """Certified sharded encode: the PRODUCTION configuration, multi-device
+    (VERDICT r3 item 3 — the old sharded roundtrip only exercised the
+    certification-free full-band mode).
+
+    Per device (shard_map over the ``data`` axis): the fused certify+pack
+    kernel at worst-case stride, with the schedule envelopes reduced to
+    per-(tile, window) scalars on device.  On host: ONE global
+    certification over all devices' envelopes (uniform w_cap/w_band so
+    every device runs the same compiled decode — the multi-device analog of
+    `ops/ils.py::certify_params`).  Per device again: the DMA compaction to
+    certified row starts.  Only O(n_tiles) metadata crosses the link.
+
+    This is the encode-time partitioning the reference's prescan demo was
+    groping toward (`gpuhd-multigpu/multigpu_demo_prescan.cc:276-319`):
+    tiles are self-contained at encode time, so device boundaries are
+    always codeword-aligned by construction.
+
+    Retries with the "laggard" anchor on fused-band violation; raises
+    ValueError for sections that need the two-pass path (use the
+    single-device codec for those).
+    """
+    from ..ops.ils import certify_params, fused_e_band
+
+    n_dev = mesh.devices.size
+    n_tiles = n_dev * tiles_per_device
+    n_win = ils_n_win(k)
+    snum = ils_schedule_numer(avg_bits)
+    stride_rows = max(2 * (-(-k * max_len // 64)), 4)
+    e_band = fused_e_band(k)
+    params_j = jnp.asarray(np.array([snum, 0], np.int32))
+
+    def mk_pack(anchor):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None, None, None), P(), P()),
+            out_specs=(
+                P(DATA_AXIS, None, None, None),
+                P(DATA_AXIS, None),
+                P(DATA_AXIS, None, None),
+                P(DATA_AXIS, None, None),
+                P(DATA_AXIS),
+            ),
+            check_vma=False,
+        )
+        def pack_fn(data_dev, params, enc):
+            pay_s, bits, dn, dx, viol = ils_pack_certify(
+                data_dev[0], params, enc, k=k, stride_rows=stride_rows,
+                e_band=e_band, rot=rot, anchor=anchor, interpret=interpret,
+            )
+            w_tiles = jnp.maximum(2 * (-(-jnp.max(bits, axis=(1, 2)) // 64)), 4)
+            dmin = jnp.min(dn, axis=(2, 3))  # (tpd, n_win)
+            dmax = jnp.max(dx, axis=(2, 3))
+            return (
+                pay_s[None],
+                w_tiles[None],
+                dmin[None],
+                dmax[None],
+                jnp.max(viol)[None],
+            )
+
+        return jax.jit(pack_fn)
+
+    for anchor in ("mu", "laggard"):
+        pay_s, w_tiles, dmin, dmax, viol = mk_pack(anchor)(
+            data_dev, params_j, enc
+        )
+        if not int(jnp.max(viol)):
+            break
+    else:
+        raise ValueError(
+            "fused certify+pack violated its emission band at both anchors; "
+            "this section needs the two-pass single-device path"
+        )
+
+    w_tiles_h = np.asarray(w_tiles).astype(np.int64)  # (D, tpd)
+    params = certify_params(
+        k=k, snum=snum, n_tiles=n_tiles,
+        w_tiles=w_tiles_h.reshape(-1),
+        dec_min=np.asarray(dmin).reshape(n_tiles, n_win),
+        dec_max=np.asarray(dmax).reshape(n_tiles, n_win),
+        rot=rot,
+    )
+    if params.w_cap > 2 * stride_rows:
+        raise ValueError(
+            "envelope-widened w_cap exceeds the strided slack; this section "
+            "needs the two-pass single-device path"
+        )
+
+    starts_local = np.zeros((n_dev, tiles_per_device), np.int32)
+    starts_local[:, 1:] = np.cumsum(w_tiles_h, axis=1)[:, :-1]
+    r_dev = int(w_tiles_h.sum(axis=1).max()) + params.w_cap
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None, None), P(DATA_AXIS, None)),
+        out_specs=P(DATA_AXIS, None, None, None),
+        check_vma=False,
+    )
+    def compact_fn(pay_s, starts_dev):
+        rows = ils_compact(
+            pay_s[0], starts_dev[0], stride_rows=stride_rows,
+            w_cap=params.w_cap, total_rows=r_dev, interpret=interpret,
+        )
+        return rows[None]
+
+    starts_dev = jnp.asarray(starts_local)
+    payload_dev = jax.jit(compact_fn)(pay_s, starts_dev)
+    return IlsShardedSection(payload_dev, starts_dev, params)
 
 
 def make_ils_sharded_roundtrip(

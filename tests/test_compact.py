@@ -14,7 +14,10 @@ from huffman_tpu.ops.compact import MAX_ROW_BYTES, compact_ranks_device
 
 
 def _pack_case(n_segs, max_count, seed, zero_frac=0.1, min_count=0):
-    """Random ragged segments -> (packed MSB-first ranks, counts, expect)."""
+    """Random ragged segments -> (packed LSB-first ranks, counts, expect).
+
+    The ranks kernel packs 4 ranks per int32 little-endian (stream order ==
+    byte order), so the oracle packing is a plain LE byte view."""
     rng = np.random.default_rng(seed)
     counts = rng.integers(min_count, max_count + 1, n_segs)
     counts[rng.random(n_segs) < zero_frac] = 0
@@ -24,9 +27,7 @@ def _pack_case(n_segs, max_count, seed, zero_frac=0.1, min_count=0):
     padded = np.zeros((n_segs, out_rows * 4), np.uint8)
     for s, seg in enumerate(segs):
         padded[s, : seg.size] = seg
-    b = padded.reshape(n_segs, out_rows, 4).astype(np.uint32)
-    packed = ((b[..., 0] << 24) | (b[..., 1] << 16) | (b[..., 2] << 8)
-              | b[..., 3]).T
+    packed = padded.view("<u4").astype(np.uint32).T
     symtab = rng.permutation(256).astype(np.uint8)
     return packed.view(np.int32), counts, symtab, symtab[ranks]
 

@@ -60,7 +60,7 @@ def test_ils_sharded_decode_matches_codec():
     payload_dev, starts_dev = shard_ils_payload(
         sec.payload, p.row_starts, p.w_cap, n_devices
     )
-    dec_fn, _ = make_ils_sharded_decode(
+    dec_fn = make_ils_sharded_decode(
         mesh,
         k=p.k,
         w_cap=p.w_cap,
@@ -86,3 +86,55 @@ def test_shard_payload_rejects_indivisible():
         shard_ils_payload(
             np.zeros((4, ILS_LANES), np.uint32), np.array([0, 2, 4]), 8, 4
         )
+
+
+@pytest.mark.parametrize("rot", [False, True])
+def test_ils_sharded_certified_pipeline(rot):
+    """The PRODUCTION configuration end-to-end over the mesh (VERDICT r3
+    item 3): fused certify+pack per device, global host certification,
+    per-device compaction, CERTIFIED-band sharded decode, bit-exact.
+    Heterogeneous content (zeros next to random) forces real per-window
+    band anchors rather than the trivial all-zero schedule."""
+    from huffman_tpu.parallel import ils_sharded_certified_encode
+
+    n_devices, k, tpd = 4, 64, 2
+    mesh = data_mesh(n_devices)
+    n = n_devices * tpd * k * ILS_LANES
+    rng = np.random.default_rng(17)
+    data = np.concatenate([
+        np.zeros(n // 4, np.uint8),
+        rng.integers(0, 256, n // 2).astype(np.uint8),
+        np.full(n - n // 4 - n // 2, 65, np.uint8),
+    ])
+    table = _fit(data)
+    enc, dec = ils_enc_tabs(table), ils_dec_tabs(table)
+    avg_bits = float(
+        (npref.histogram(data) * table.lengths.astype(np.int64)).sum()
+    ) / max(data.size, 1)
+
+    data_dev = jnp.asarray(
+        _as_tiles_i32(data, k).reshape(n_devices, tpd * (k // 4), 8, 128)
+    )
+    sec = ils_sharded_certified_encode(
+        mesh, data_dev, enc, k=k, max_len=max(table.max_len_present, 1),
+        avg_bits=avg_bits, tiles_per_device=tpd, rot=rot, interpret=True,
+    )
+    p = sec.params
+    assert p.w_band <= p.w_cap // 2  # genuinely banded, not full-band
+
+    from huffman_tpu.core.canonical import chain_spec
+    from huffman_tpu.core.ils_ref import ils_n_win
+
+    dec_fn = make_ils_sharded_decode(
+        mesh, k=k, w_cap=p.w_cap, w_band=p.w_band,
+        max_len=max(table.max_len_present, 1),
+        min_len=max(table.min_len, 1), tiles_per_device=tpd,
+        rot=rot, chain=chain_spec(table), interpret=True,
+    )
+    params_j = jnp.asarray(np.array([p.snum, 0], np.int32))
+    boffs_dev = jnp.asarray(
+        p.boffs.reshape(n_devices, tpd, ils_n_win(k))
+    )
+    out = dec_fn(sec.payload_dev, sec.starts_dev, params_j, boffs_dev, dec)
+    got = np.asarray(out).reshape(-1, 8, 128).view(np.uint32).reshape(-1)
+    assert np.array_equal(got.view(np.uint8), data)

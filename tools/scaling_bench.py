@@ -88,7 +88,7 @@ def main():
         payload_dev, starts_dev = shard_ils_payload(
             payload, p.row_starts, p.w_cap, d
         )
-        dec_fn, _ = make_ils_sharded_decode(
+        dec_fn = make_ils_sharded_decode(
             mesh, k=p.k, w_cap=p.w_cap, w_band=p.w_band, max_len=maxlen,
             tiles_per_device=tpd, interpret=args.interpret,
         )

@@ -62,76 +62,164 @@ def measure_sized(run, sizes, trials=5):
     return max(min(t[sizes[1]]) - min(t[sizes[0]]), 1e-9)
 
 
+def _gap_fused_setup(args, codec, data):
+    """Encode on device; return args for chained `_fused_blocks` calls."""
+    import jax.numpy as jnp
+
+    from huffman_tpu.ops.compact import (
+        MAX_ROW_BYTES,
+        _sym_tiles,
+        plan_compact,
+    )
+
+    size = data.size
+    dcomp = codec.encode_device(jnp.asarray(data)[None])
+    counts = np.asarray(dcomp.counts)[0]
+    gaps = np.asarray(dcomp.gaps)[0]
+    nz = np.nonzero(counts)[0]
+    ns = -(-(int(nz[-1]) + 1) // 4096) * 4096 if nz.size else 4096
+    ns = min(ns, counts.size)
+    counts, gaps = counts[:ns], gaps[:ns]
+    worst = int(counts.max())
+    if worst > MAX_ROW_BYTES:
+        return None
+    plan = plan_compact(counts.astype(np.int64), size)
+    symlo, symhi = _sym_tiles(np.asarray(codec.table.symtab, np.uint8))
+    kw = dict(
+        spec=codec.spec, seg_bits=codec.seg_bits, n_segs_b=ns,
+        max_count=-(-worst // 8) * 8, statics=plan.statics,
+    )
+    arrs = (
+        dcomp.words,
+        jnp.asarray(gaps),
+        jnp.asarray(counts),
+        jnp.asarray(plan.bases),
+        jnp.asarray(plan.s0_rel),
+    )
+    return arrs, (symlo, symhi), kw
+
+
 def bench_gap_pallas(args, interpret):
-    """HTC1 decode: Pallas ranks kernel + device ragged-concat placement."""
+    """HTC1 decode: the fused single-dispatch Pallas pipeline (ranks kernel
+    + transpose + placement under ONE jit), timed with chained in-jit
+    repeats exactly like the headline bench — the r03 size-differenced
+    staging form measured mostly tunnel dispatch floors."""
     import jax
     import jax.numpy as jnp
 
     from huffman_tpu.constants import SEG_BITS
     from huffman_tpu.models import GapArrayCodec
-    from huffman_tpu.ops.pallas.decode_kernel import decode_block_pallas
+    from huffman_tpu.ops.pallas.decode_kernel import _fused_blocks
     from huffman_tpu.utils import generate_redundant
 
-    from huffman_tpu.ops.compact import MAX_ROW_BYTES
+    from bench import measure_chained
 
-    s1 = args.size // 2
-    data = generate_redundant(2 * s1, args.redundancy, seed=0)
-    codec = GapArrayCodec.fit(data, block_bytes=s1, method="pallas")
-    comp = codec.encode(data)  # 2 blocks of s1 bytes
-
-    worst = max(int(c.max()) for c in comp.block_counts)
-    if worst > MAX_ROW_BYTES:
+    size = args.size
+    data = generate_redundant(size, args.redundancy, seed=0)
+    codec = GapArrayCodec.fit(data, block_bytes=size, method="pallas")
+    setup = _gap_fused_setup(args, codec, data)
+    if setup is None:
         # degenerate sub-2-bit codes: the codec itself falls back to the XLA
         # path here, so there is no Pallas number to measure
-        log(f"gap-pallas: skipped (segment count {worst} exceeds the kernel "
-            f"row budget {MAX_ROW_BYTES}; lower --redundancy)")
+        log("gap-pallas: skipped (segment counts exceed the kernel row "
+            "budget; lower --redundancy)")
         return {"metric": "htc1_pallas_decode_gbps", "value": 0.0,
                 "unit": "GB/s", "skipped": "counts exceed kernel row budget"}
+    arrs, (symlo, symhi), kw = setup
 
-    prep = {}
-    for nb, size in ((1, s1), (2, 2 * s1)):
-        max_s = max(comp.block_gaps[i].size for i in range(nb))
-        max_c = max(int(comp.block_counts[i].max()) for i in range(nb))
-        blocks = []
-        for i in range(nb):
-            w = np.concatenate([comp.block_words[i], np.zeros(1, np.uint32)])
-            g = np.zeros(max_s, np.int32)
-            c = np.zeros(max_s, np.int32)
-            g[: comp.block_gaps[i].size] = comp.block_gaps[i]
-            c[: comp.block_counts[i].size] = comp.block_counts[i]
-            blocks.append((jnp.asarray(w), g, c))
-        prep[size] = (blocks, max_s, -(-max_c // 8) * 8)
+    out = _fused_blocks(*arrs, symlo, symhi, codec.dec,
+                        interpret=interpret, **kw)
+    ok = bool(jnp.array_equal(out, jnp.asarray(data)))
+    log(f"gap-pallas verify: {'PASS' if ok else 'FAIL'}")
 
-    def run(size):
-        blocks, n_segs, max_count = prep[size]
-        for w, g, c in blocks:
-            out = decode_block_pallas(
-                w, g, c, codec.dec, symtab=codec.table.symtab,
-                spec=codec.spec, seg_bits=codec.seg_bits, n_segs=n_segs,
-                max_count=max_count, out_size=s1, interpret=interpret,
-            )
-        jax.block_until_ready(out)
-        return out
+    def mk(R):
+        @jax.jit
+        def f(w2, gaps, counts, bases, s0):
+            def body(i, carry):
+                acc, w = carry
+                # loop-carried bit flip defeats invariant hoisting; the
+                # decoded garbage feeds only the checksum
+                w = w.at[0, 0].set(w[0, 0] ^ jnp.uint32(1))
+                o = _fused_blocks(
+                    w, gaps, counts, bases, s0, symlo, symhi, codec.dec,
+                    interpret=interpret, **kw,
+                )
+                return acc ^ o[:8].astype(jnp.int32), w
+            acc, _ = jax.lax.fori_loop(
+                0, R, body, (jnp.zeros(8, jnp.int32), w2))
+            return acc
+        return f
 
-    # verify every block on device (D2H here is MB/s; H2D is the fast
-    # direction, so upload the expectation and only a scalar crosses back)
-    expect = jnp.asarray(data)
-    ok = True
-    blocks2, n_segs2, max_count2 = prep[2 * s1]
-    for i, (w, g, c) in enumerate(blocks2):
-        out = decode_block_pallas(
-            w, g, c, codec.dec, symtab=codec.table.symtab,
-            spec=codec.spec, seg_bits=codec.seg_bits, n_segs=n_segs2,
-            max_count=max_count2, out_size=s1, interpret=interpret,
-        )
-        ok = ok and bool(jnp.array_equal(out, expect[i * s1:(i + 1) * s1]))
-        log(f"gap-pallas verify block {i}: {'PASS' if ok else 'FAIL'}")
-    dt = measure_sized(run, (s1, 2 * s1), trials=args.trials)
-    gbps = s1 / dt / 1e9
-    log(f"gap-pallas decode: {gbps:.3f} GB/s ({dt * 1e3:.1f} ms / {s1} B)")
+    reps = args.reps
+    dt = measure_chained(mk, max(reps // 4, 1), reps, *arrs,
+                         trials=args.trials)
+    gbps = size / dt / 1e9
+    log(f"gap-pallas decode: {gbps:.3f} GB/s ({dt * 1e3:.1f} ms / {size} B)")
     return {"metric": "htc1_pallas_decode_gbps", "value": round(gbps, 4),
             "unit": "GB/s", "verified": ok, "seg_bits": SEG_BITS,
-            "block_bytes": s1}
+            "block_bytes": size}
+
+
+def bench_htc1_encode(args, interpret):
+    """HTC1 device encode (VERDICT r3 item 7): one vmapped dispatch —
+    lengths gather + cumsum offsets + segment-sum bit pack + searchsorted
+    gap/count metadata — chained in-jit.  Role of the reference's
+    `cuencoder` (`encoder/src/encoder.cu:142-355`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from huffman_tpu.constants import SEG_BITS
+    from huffman_tpu.models import GapArrayCodec
+    from huffman_tpu.ops.encode import encode_block
+    from huffman_tpu.utils import generate_redundant
+
+    from bench import measure_chained
+
+    size = args.size
+    data = generate_redundant(size, args.redundancy, seed=4)
+    codec = GapArrayCodec.fit(data, block_bytes=size)
+    lens = codec.table.lengths.astype(np.int64)
+    max_bits = int(lens[data].sum())
+    max_words = -(-(-(-max_bits // 32)) // 512) * 512
+    n_segs = -(-max_words * 32 // codec.seg_bits)
+    kw = dict(enc=codec.enc, seg_bits=codec.seg_bits, max_words=max_words,
+              n_segs=n_segs)
+
+    data_j = jnp.asarray(data)
+
+    # correctness: the packed words must match the NumPy oracle bit-for-bit
+    # (compare ON device; D2H is MB/s through the tunnel)
+    from huffman_tpu.core import npref
+
+    words, total_bits, gaps, counts = encode_block(data_j, **kw)
+    exp_words, exp_bits = npref.encode_bits(data, codec.table)
+    nw = min(exp_words.size, words.shape[0])
+    ok = bool(
+        jnp.array_equal(words[:nw], jnp.asarray(exp_words[:nw]))
+    ) and int(total_bits) == exp_bits
+    log(f"htc1 encode verify: {'PASS' if ok else 'FAIL'}")
+
+    def mk(R):
+        @jax.jit
+        def f(d):
+            def body(i, carry):
+                acc, dd = carry
+                dd = dd.at[0].set(dd[0] ^ jnp.uint8(1))
+                w, tb, g, c = encode_block(dd, **kw)
+                return acc ^ w[:8].astype(jnp.int32) ^ tb, dd
+            acc, _ = jax.lax.fori_loop(
+                0, R, body, (jnp.zeros(8, jnp.int32), d))
+            return acc
+        return f
+
+    reps = args.reps
+    dt = measure_chained(mk, max(reps // 4, 1), reps, data_j,
+                        trials=args.trials)
+    gbps = size / dt / 1e9
+    log(f"htc1 device encode: {gbps:.3f} GB/s ({dt * 1e3:.1f} ms / {size} B)")
+    return {"metric": "htc1_encode_gbps", "value": round(gbps, 4),
+            "unit": "GB/s", "verified": ok, "seg_bits": SEG_BITS,
+            "block_bytes": size}
 
 
 def bench_selfsync(args, interpret):
@@ -322,7 +410,10 @@ def main():
                     help="cap for the XLA scan paths (gather-bound)")
     ap.add_argument("--cpu", action="store_true",
                     help="tiny interpret-mode structural check")
-    ap.add_argument("--configs", default="gap_pallas,selfsync,yamamoto,methods")
+    ap.add_argument(
+        "--configs",
+        default="gap_pallas,htc1_encode,selfsync,yamamoto,methods",
+    )
     args = ap.parse_args()
 
     import jax
@@ -338,6 +429,7 @@ def main():
 
     runners = {
         "gap_pallas": bench_gap_pallas,
+        "htc1_encode": bench_htc1_encode,
         "selfsync": bench_selfsync,
         "yamamoto": bench_yamamoto,
         "methods": bench_block_methods,
