@@ -201,7 +201,7 @@ def decode_yamamoto(buf: bytes, method: str | None = None) -> np.ndarray:
             max_count,
         )
         if out is not None:
-            return out
+            return np.asarray(out)
         method = "lut"
 
     counts = count_segments(
@@ -260,8 +260,10 @@ def _decode_pallas_planned(words_j, gaps_j, dec, spec, table, n_segs,
                            original_size, max_count):
     """Two-dispatch device-planned decode (counts born on device, scalar
     plan on host, fused ranks+placement) — the TPU default path.  Returns
-    None when the Pallas kernels cannot take this stream (degenerate
-    codes / VMEM-infeasible window); caller falls back to the XLA path."""
+    the decoded bytes as a DEVICE array (callers needing host bytes pull
+    them; the benchmark path never does), or None when the Pallas kernels
+    cannot take this stream (degenerate codes / VMEM-infeasible window) —
+    caller falls back to the XLA path."""
     from ..ops.compact import (
         TILE_BYTES,
         CompactStatics,
@@ -298,10 +300,9 @@ def _decode_pallas_planned(words_j, gaps_j, dec, spec, table, n_segs,
         n_tiles=-(-original_size // TILE_BYTES),
     )
     symlo, symhi = _sym_tiles(np.asarray(table.symtab, np.uint8))
-    out = fused_planned_decode(
+    return fused_planned_decode(
         words_j, gaps_j, counts, symlo, symhi, dec, spec=spec,
         seg_bits=_SEGMENT_BITS, n_segs=n_segs,
         max_count=-(-max(mx, 1) // 8) * 8, statics=statics,
         interpret=jax.default_backend() != "tpu",
     )
-    return np.asarray(out)

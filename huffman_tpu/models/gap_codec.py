@@ -132,6 +132,10 @@ class GapArrayCodec:
         self.block_bytes = int(block_bytes)
         self.method = method
         self.enc = device_enc_table(table)
+        # lane-table form for the gather-free Pallas encode stage
+        from ..ops.pallas.ils_kernels import ils_enc_tabs
+
+        self.enc_tabs = ils_enc_tabs(table)
         self.dec = device_dec_table(table, two_level=(method == "twolevel"))
         # dec_spec, not a hand-rolled DecSpec: the twolevel method needs the
         # prefix/boundary fields filled in
@@ -201,14 +205,30 @@ class GapArrayCodec:
         max_len = int(self.table.max_len_present)
         max_words = _round_up(_cdiv(b * max_len, 32), 512)
         n_segs = _cdiv(max_words * 32, self.seg_bits)
-        f = functools.partial(
-            encode_block,
-            enc=self.enc,
-            seg_bits=self.seg_bits,
-            max_words=max_words,
-            n_segs=n_segs,
-        )
-        words, total_bits, gaps, counts = jax.vmap(lambda d: f(d))(blocks)
+        if b % 4096 == 0:
+            # gather-free Pallas translation stage (encode_block_fast);
+            # bit-identical to encode_block (pinned by tests)
+            from ..ops.encode import encode_block_fast
+
+            f = functools.partial(
+                encode_block_fast,
+                seg_bits=self.seg_bits,
+                max_words=max_words,
+                n_segs=n_segs,
+                interpret=jax.default_backend() != "tpu",
+            )
+            words, total_bits, gaps, counts = jax.vmap(
+                lambda d: f(d, self.enc_tabs)
+            )(blocks)
+        else:
+            f = functools.partial(
+                encode_block,
+                enc=self.enc,
+                seg_bits=self.seg_bits,
+                max_words=max_words,
+                n_segs=n_segs,
+            )
+            words, total_bits, gaps, counts = jax.vmap(lambda d: f(d))(blocks)
         return DeviceCompressed(
             table=self.table,
             seg_bits=self.seg_bits,

@@ -262,6 +262,7 @@ def compact_apply(
     symhi: jnp.ndarray,
     *,
     statics: CompactStatics,
+    tps: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Traceable device half of the placement: compose under the caller's jit.
@@ -275,15 +276,25 @@ def compact_apply(
 
     Returns a device (out_size,) uint8 array.
     """
-    if packed.shape[0] > OFF_LANE:
-        # lanes OFF_LANE/CNT_LANE carry the per-segment metadata; the
-        # MAX_ROW_BYTES gate bounds real rank rows to 120 lanes anyway
+    out_rows = int(packed.shape[0])
+    if out_rows > 126:
+        # 2 lanes carry the per-segment metadata; the MAX_ROW_BYTES gate
+        # bounds real rank rows to 120 lanes anyway
         raise ValueError("rank matrix would overlap the metadata lanes")
     plan = statics
     n_segs, s_pad = plan.n_segs, plan.s_pad
+    # row width stays 128 lanes: Mosaic requires HBM window-DMA slices
+    # lane-aligned to the (1, 128) tiling, so a narrow (out_rows+2)-lane
+    # array cannot be DMA'd (measured attempt r4; a 2-segments-per-row
+    # packing would halve the traffic within the constraint — see
+    # docs/PERF.md §6)
+    row_lanes = 128
 
     rows = _rows_lsb(packed)  # (n_segs_p, out_rows)
     r0 = min(rows.shape[0], s_pad)
+    rows = rows[:r0]
+    if r0 < s_pad:
+        rows = jnp.pad(rows, ((0, s_pad - r0), (0, 0)))
 
     # per-segment output offsets from the device counts (cumsum): beyond the
     # real segments counts are 0, so rows there mask to nothing wherever
@@ -294,13 +305,17 @@ def compact_apply(
     ends = jnp.cumsum(cnt_pad, dtype=jnp.int32)
     off_pad = ends - cnt_pad
 
-    # rank rows with the per-segment metadata embedded in the spare lanes
-    # (one array -> one window DMA per chunk in the kernel)
-    rows = (
-        jnp.zeros((s_pad, 128), jnp.int32)
-        .at[:r0, : rows.shape[1]].set(rows[:r0])
-        .at[:, OFF_LANE].set(off_pad)
-        .at[:, CNT_LANE].set(cnt_pad)
+    # rank rows with the per-segment metadata in the top two lanes (one
+    # array -> one window DMA per chunk in the kernel)
+    pad_w = row_lanes - 2 - out_rows
+    rows = jnp.concatenate(
+        [
+            rows,
+            jnp.zeros((s_pad, pad_w), jnp.int32),
+            off_pad[:, None],
+            cnt_pad[:, None],
+        ],
+        axis=1,
     )
 
     out_t = ragged_concat_pallas(
@@ -313,6 +328,7 @@ def compact_apply(
         s_cap=plan.s_cap,
         chunk_bytes=plan.chunk_bytes,
         n_tiles=plan.n_tiles,
+        tps=tps,
         interpret=interpret,
     )
     words = out_t[: plan.n_tiles].reshape(-1)

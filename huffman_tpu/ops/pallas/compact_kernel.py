@@ -76,7 +76,7 @@ def _cdiv(a, b):
 
 
 def _kernel(base_ref, s0_ref, rows_hbm, symlo_ref, symhi_ref, out_ref,
-            win, sem, *, band, s_cap, tpc, tps, chunk_bytes):
+            win, sem, *, band, s_cap, tpc, tps, chunk_bytes, row_lanes):
     c = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -93,18 +93,27 @@ def _kernel(base_ref, s0_ref, rows_hbm, symlo_ref, symhi_ref, out_ref,
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
     u32 = jnp.uint32
 
-    # ``tps`` output tiles per grid step: a one-tile step writes only 4 KB,
-    # and per-step grid overhead at 16K steps/64 MB dwarfed the vector work
     for t in range(tps):
         k0 = c * chunk_bytes + (i * tps + t) * TILE_BYTES  # tile base byte
         s0 = s0_ref[c * tpc + i * tps + t]  # band start, window-relative
 
         acc = jnp.zeros((SUBLANES, LANES), jnp.int32)
         for g in range(band // SUBLANES):
-            base = s0 + g * SUBLANES
-            row = win[pl.ds(base, SUBLANES), :]  # (8, 128) int32 LSB-first
-            off8 = jax.lax.slice_in_dim(row, OFF_LANE, OFF_LANE + 1, axis=1)
-            cnt8 = jax.lax.slice_in_dim(row, CNT_LANE, CNT_LANE + 1, axis=1)
+            rw = win[pl.ds(s0 + g * SUBLANES, SUBLANES), :]  # (8, row_lanes)
+            off8 = jax.lax.slice_in_dim(
+                rw, row_lanes - 2, row_lanes - 1, axis=1
+            )
+            cnt8 = jax.lax.slice_in_dim(
+                rw, row_lanes - 1, row_lanes, axis=1
+            )
+            # rank lanes, widened to the 128-lane output frame (rows are
+            # stored at the narrow `row_lanes` width so the HBM array and
+            # window DMA skip the dead lanes a short max_count never uses)
+            row = (
+                rw
+                if row_lanes == LANES
+                else jnp.pad(rw, ((0, 0), (0, LANES - row_lanes)))
+            )
 
             # byte-mask to the segment's true count (bytes t < cnt survive)
             c4 = cnt8 >> 2
@@ -155,10 +164,12 @@ def _kernel(base_ref, s0_ref, rows_hbm, symlo_ref, symhi_ref, out_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("band", "s_cap", "chunk_bytes", "n_tiles", "interpret"),
+    static_argnames=(
+        "band", "s_cap", "chunk_bytes", "n_tiles", "tps", "interpret"
+    ),
 )
 def ragged_concat_pallas(
-    rows: jnp.ndarray,  # (S_pad, 128) int32 rank rows + OFF/CNT_LANE meta
+    rows: jnp.ndarray,  # (S_pad, row_lanes) int32 rank rows + 2 meta lanes
     bases: jnp.ndarray,  # (n_chunks,) int32 window base row per chunk
     s0: jnp.ndarray,  # (n_chunks * tpc,) int32 window-relative band starts
     symlo: jnp.ndarray,  # (8, 128) int32 rank -> symbol, ranks 0..127
@@ -168,11 +179,14 @@ def ragged_concat_pallas(
     s_cap: int,
     chunk_bytes: int,
     n_tiles: int,
+    tps: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Ragged-concat each segment row (LSB-first packed bytes in lanes
-    0..119) at its absolute output offset (lane OFF_LANE), masked to its
-    byte count (lane CNT_LANE).
+    0..row_lanes-3) at its absolute output offset (lane row_lanes-2),
+    masked to its byte count (lane row_lanes-1); ``row_lanes`` (any
+    multiple of 8, <= 128) is taken from ``rows.shape[1]`` — narrow widths
+    skip the HBM/DMA traffic of lanes a short max_count never uses.
 
     ONE dispatch over a (chunk, tile) grid; chunk c covers output bytes
     [c * chunk_bytes, (c+1) * chunk_bytes) and DMAs segment-window rows
@@ -187,13 +201,20 @@ def ragged_concat_pallas(
     """
     assert band % SUBLANES == 0 and band > 0
     assert chunk_bytes % TILE_BYTES == 0
+    row_lanes = int(rows.shape[1])
+    assert row_lanes % SUBLANES == 0 and row_lanes <= LANES
     tpc = chunk_bytes // TILE_BYTES
-    tps = min(16, tpc)  # output tiles per grid step (tpc is a power of 2)
+    if tps is None:
+        # measured (v5e, 64 MB, same-process interleaved): 1 tile per grid
+        # step runs 7.5 ms vs 13.2 at tps=16 — the 16x-unrolled band body
+        # costs more than the per-step grid overhead it saves
+        tps = 1
+    assert tpc % tps == 0
     n_chunks = bases.shape[0]
     assert s0.shape[0] == n_chunks * tpc
     kern = functools.partial(
         _kernel, band=band, s_cap=s_cap, tpc=tpc, tps=tps,
-        chunk_bytes=chunk_bytes,
+        chunk_bytes=chunk_bytes, row_lanes=row_lanes,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -211,7 +232,7 @@ def ragged_concat_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((s_cap, LANES), jnp.int32),
+            pltpu.VMEM((s_cap, row_lanes), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -242,6 +263,9 @@ def plan_tiles(counts: np.ndarray, out_size: int):
     s_first = np.searchsorted(ends, tile_lo, side="right")
     s_last = np.searchsorted(offs, tile_lo + TILE_BYTES, side="left")
     band = int(np.max(s_last - s_first, initial=1))
+    # NOT 8-aligned: measured (v5e, 64 MB) the kernel cost is ~linear in
+    # band rows (0.23 ms/row either way), so widening the band by 8 to
+    # align the window reads loses more than the alignment saves
     band = max(_cdiv(band, SUBLANES) * SUBLANES, SUBLANES)
     # caller clamps s0 against its (band-padded) row count
     return s_first.astype(np.int32), band

@@ -99,6 +99,34 @@ def test_compact_vmem_infeasible_raises(monkeypatch):
         )
 
 
+def test_device_plan_matches_host_plan():
+    """`compact_plan_arrays`/`compact_scalars` + `pick_chunk` (the device
+    planning used when counts are born on device — self-sync, gap-only
+    containers) must reproduce `plan_compact`'s arrays bit-for-bit."""
+    from huffman_tpu.ops.compact import (
+        compact_plan_arrays,
+        compact_scalars,
+        pick_chunk,
+        plan_compact,
+    )
+
+    rng = np.random.default_rng(5)
+    counts = rng.integers(0, 300, 5000).astype(np.int64)
+    out_size = int(counts.sum())
+    host = plan_compact(counts, out_size)
+
+    scal = np.asarray(compact_scalars(jnp.asarray(counts.astype(np.int32)),
+                                      out_size))
+    band, s_cap, chunk = pick_chunk(scal)
+    s = host.statics
+    assert (band, s_cap, chunk) == (s.band, s.s_cap, s.chunk_bytes)
+    bases, s0_rel = compact_plan_arrays(
+        jnp.asarray(counts.astype(np.int32)), statics=s
+    )
+    np.testing.assert_array_equal(np.asarray(bases), host.bases)
+    np.testing.assert_array_equal(np.asarray(s0_rel), host.s0_rel)
+
+
 def test_compact_rejects_oversized_rows():
     packed, counts, symtab, expect = _pack_case(8, 64, seed=13)
     counts = counts.copy()

@@ -56,6 +56,37 @@ def test_encode_matches_oracle(gen, seed, seg_bits):
     np.testing.assert_array_equal(np.asarray(counts)[: len(ref_counts)], ref_counts)
 
 
+@pytest.mark.parametrize("gen,seed", [("red0.5", 10), ("red0.9", 11), ("binom", 12)])
+@pytest.mark.parametrize("seg_bits", [128, 1024])
+def test_encode_fast_matches_encode_block(gen, seed, seg_bits):
+    """The Pallas-translation encode must be BIT-IDENTICAL to the XLA
+    encode (words, total_bits, gaps, counts) — it only replaces the
+    gathers and the searchsorted metadata with lane lookups and segment
+    reductions."""
+    from huffman_tpu.ops.encode import encode_block_fast
+    from huffman_tpu.ops.pallas.ils_kernels import ils_enc_tabs
+
+    n = 8192 * 3  # multiple of 4096 (whole vreg rows), > one map chunk
+    if gen == "binom":
+        data = generate_binomial(n, seed=seed)
+    else:
+        data = generate_redundant(n, float(gen[3:]), seed=seed)
+    table = make_table(data)
+    max_words, n_segs, _ = encode_args(data, table, seg_bits)
+    enc = device_enc_table(table)
+    ref = encode_block(
+        jnp.asarray(data), enc, seg_bits=seg_bits, max_words=max_words,
+        n_segs=n_segs,
+    )
+    got = encode_block_fast(
+        jnp.asarray(data), ils_enc_tabs(table), seg_bits=seg_bits,
+        max_words=max_words, n_segs=n_segs, interpret=True,
+    )
+    assert int(got[1]) == int(ref[1])
+    for g, r in zip((got[0], got[2], got[3]), (ref[0], ref[2], ref[3])):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
 @pytest.mark.parametrize("method", ["lut", "canonical", "twolevel"])
 @pytest.mark.parametrize("gen,seed", [("red0.5", 3), ("red0.1", 4), ("binom", 5)])
 def test_decode_roundtrip(method, gen, seed):
