@@ -175,6 +175,8 @@ def bench_htc1_encode(args, interpret):
 
     from bench import measure_chained
 
+    from huffman_tpu.ops.encode import encode_block_fast
+
     size = args.size
     data = generate_redundant(size, args.redundancy, seed=4)
     codec = GapArrayCodec.fit(data, block_bytes=size)
@@ -182,16 +184,19 @@ def bench_htc1_encode(args, interpret):
     max_bits = int(lens[data].sum())
     max_words = -(-(-(-max_bits // 32)) // 512) * 512
     n_segs = -(-max_words * 32 // codec.seg_bits)
-    kw = dict(enc=codec.enc, seg_bits=codec.seg_bits, max_words=max_words,
-              n_segs=n_segs)
+    kw = dict(seg_bits=codec.seg_bits, max_words=max_words, n_segs=n_segs)
 
     data_j = jnp.asarray(data)
 
     # correctness: the packed words must match the NumPy oracle bit-for-bit
-    # (compare ON device; D2H is MB/s through the tunnel)
+    # (compare ON device; D2H is MB/s through the tunnel).  The checksum
+    # chain below consumes words + metadata so nothing is dead-code
+    # eliminated (transparent XLA stages prune to what is read).
     from huffman_tpu.core import npref
 
-    words, total_bits, gaps, counts = encode_block(data_j, **kw)
+    words, total_bits, gaps, counts = encode_block_fast(
+        data_j, codec.enc_tabs, **kw
+    )
     exp_words, exp_bits = npref.encode_bits(data, codec.table)
     nw = min(exp_words.size, words.shape[0])
     ok = bool(
@@ -205,8 +210,12 @@ def bench_htc1_encode(args, interpret):
             def body(i, carry):
                 acc, dd = carry
                 dd = dd.at[0].set(dd[0] ^ jnp.uint8(1))
-                w, tb, g, c = encode_block(dd, **kw)
-                return acc ^ w[:8].astype(jnp.int32) ^ tb, dd
+                w, tb, g, c = encode_block_fast(dd, codec.enc_tabs, **kw)
+                return (
+                    acc ^ w[:8].astype(jnp.int32) ^ tb
+                    ^ jnp.sum(g) ^ jnp.sum(c),
+                    dd,
+                )
             acc, _ = jax.lax.fori_loop(
                 0, R, body, (jnp.zeros(8, jnp.int32), d))
             return acc
