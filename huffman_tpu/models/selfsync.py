@@ -11,11 +11,12 @@ TPU-native pipeline (contrast `gpuhd/src/cuhd_gpu_decoder.cu:422-523`):
    subsequence decoded from all 16 possible entry offsets, lengths only —
    replaces CUHD's speculative phase 1/2 re-decode + host convergence loop
    with an exact, single-dispatch computation.
-2. **Composition scan** (XLA / MXU): transitions become 16x16 one-hot
-   matrices; ``jax.lax.associative_scan`` over (P, c) with
-   ``(Pa @ Pb, ca + Pa @ cb)`` yields every subsequence's true entry state
-   and prefix symbol count in O(log n) batched-matmul steps — the role of
-   CUHD's thrust::exclusive_scan (`:497-505`) and sync iteration combined.
+2. **Composition scan** (XLA): each subsequence is a [16] -> [16]
+   transition FUNCTION; ``jax.lax.associative_scan`` composes them
+   (``(a then b)(s) = b[a(s)]``, expanded gather-free as 16 selects) in
+   O(log n) vector steps, yielding every subsequence's true entry state —
+   the role of CUHD's thrust::exclusive_scan (`:497-505`) and sync
+   iteration combined, exact in int32 at any stream length.
 3. **Decode pass**: ONE fused dispatch (`fused_planned_decode`) — the
    gap-array ranks kernel consumes (entry, count) per subsequence exactly
    as if an encoder-side gap array existed, and the banded placement kernel
@@ -59,21 +60,31 @@ def _compose_scan(exits: jnp.ndarray) -> jnp.ndarray:
     """Inclusive scan of transition composition over exit states ONLY.
 
     exits: (n, 16) int.  Returns entry (n,) int32: the true entry state of
-    each subsequence.  Only the 16x16 one-hot transition matrices ride the
-    matmul scan — their products stay exactly 0/1 in float32, so the scan is
-    exact at any stream length.  Symbol counts are deliberately NOT carried
-    through the scan: prefix counts accumulate to the stream total, which
-    exceeds float32's 2^24 integer range above ~16 MB decoded; they are
-    instead derived afterwards by an exact integer ``take_along_axis`` +
+    each subsequence.  A subsequence is a FUNCTION [16] -> [16] (entry
+    state -> exit state); the scan composes functions:
+    ``(a then b)(s) = b[a(s)]``, with the 16-entry application expanded as
+    16 where-selects — gather-free, exact in int32, and (n, 16)-sized all
+    the way up.  (The earlier formulation scanned 16x16 one-hot matrices on
+    the MXU; exact too, but its (n, 16, 16) fp32 prefix arrays cost 16x the
+    memory and its batched-matmul HLO stalled the remote compiler for 30+
+    minutes at n = 1M subsequences — 128 MB streams.)  Symbol counts are
+    deliberately NOT carried through the scan: prefix counts accumulate to
+    the stream total, which exceeds fp32's 2^24 above ~16 MB decoded; they
+    are derived afterwards by an exact integer ``take_along_axis`` +
     ``cumsum`` over the selected per-subsequence counts (the role of
     thrust::exclusive_scan in the reference, `cuhd_gpu_decoder.cu:497-505`,
     which is likewise exact).
     """
-    states = jnp.arange(SYNC_STATES, dtype=jnp.int32)
-    p = (exits[:, :, None] == states[None, None, :]).astype(jnp.float32)
-    pg = jax.lax.associative_scan(jnp.matmul, p, axis=0)
-    # state-0 row of the inclusive prefix: exit state after subsequences 0..i
-    exit_state = jnp.argmax(pg[:, 0, :], axis=-1).astype(jnp.int32)
+    f = exits.astype(jnp.int32)  # (n, 16): f[i, s] = exit state of subseq i
+
+    def combine(a, b):
+        acc = jnp.zeros_like(a)
+        for k in range(SYNC_STATES):
+            acc = acc + jnp.where(a == k, b[:, k : k + 1], 0)
+        return acc
+
+    pg = jax.lax.associative_scan(combine, f, axis=0)
+    exit_state = pg[:, 0]  # composed transition applied to entry state 0
     n = exits.shape[0]
     return jnp.concatenate([jnp.zeros(1, jnp.int32), exit_state[: n - 1]])
 
