@@ -76,6 +76,18 @@ def _compose_scan(exits: jnp.ndarray) -> jnp.ndarray:
     which is likewise exact).
     """
     f = exits.astype(jnp.int32)  # (n, 16): f[i, s] = exit state of subseq i
+    n = exits.shape[0]
+    # pad to a power of two with IDENTITY transitions: associative_scan's
+    # odd/even recursion at ragged lengths emits a slice zoo that stalled
+    # the remote compiler indefinitely at n ~ 800K (the padded scan
+    # compiles in seconds); identity tail entries never affect prefixes
+    np2 = 1 << max(n - 1, 1).bit_length()
+    if np2 != n:
+        ident = jnp.broadcast_to(
+            jnp.arange(SYNC_STATES, dtype=jnp.int32)[None],
+            (np2 - n, SYNC_STATES),
+        )
+        f = jnp.concatenate([f, ident], axis=0)
 
     def combine(a, b):
         acc = jnp.zeros_like(a)
@@ -85,7 +97,6 @@ def _compose_scan(exits: jnp.ndarray) -> jnp.ndarray:
 
     pg = jax.lax.associative_scan(combine, f, axis=0)
     exit_state = pg[:, 0]  # composed transition applied to entry state 0
-    n = exits.shape[0]
     return jnp.concatenate([jnp.zeros(1, jnp.int32), exit_state[: n - 1]])
 
 
@@ -158,7 +169,14 @@ def selfsync_decode_device(
     if max_len > SYNC_STATES:
         raise ValueError("self-sync decode requires max codeword length <= 16")
     min_len = max(table.min_len, 1)
+    # POWER-OF-TWO subsequence count: subsequences past total_bits decode
+    # zero steps (the transitions kernel clamps to the stream end), i.e.
+    # identity transitions with zero counts, so rounding up is free — and
+    # essential: at ragged lengths the composition scan's odd/even
+    # recursion (and the other n-sized ops) emitted HLO that stalled the
+    # remote TPU compiler indefinitely at n ~ 800K, vs seconds at 2^20
     n_subseq = _cdiv(total_bits, _SEG_BITS)
+    n_subseq = 1 << max(n_subseq - 1, 1).bit_length()
     lim = np.zeros((1, 32), np.uint32)
     lim[0, : table.lim_left.shape[0]] = table.lim_left
 
