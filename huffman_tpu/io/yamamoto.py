@@ -235,19 +235,28 @@ def decode_yamamoto(buf: bytes, method: str | None = None) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "seg_bits", "max_count", "out_cap")
+    jax.jit,
+    static_argnames=("spec", "seg_bits", "max_count", "out_cap", "interpret"),
 )
 def _yam_meta(words, gaps, total_bits, original_size, dec, *, spec,
-              seg_bits, max_count, out_cap):
-    """Stage A, ONE dispatch: gather-free counting pass (grouped compare
-    chain, lengths only) + last-segment correction + placement-plan
-    scalars.  Only ~16 int32s cross to the host."""
+              seg_bits, max_count, out_cap, interpret=False):
+    """Stage A, ONE dispatch: Pallas counting pass + last-segment
+    correction + placement-plan scalars.  Only ~16 int32s cross to the
+    host.  The counting pass is `count_segments_pallas` — the XLA scan
+    gathered `words[pos>>5]` once per segment per symbol step (~30 ns/el,
+    which capped foreign-container decode at 0.03 GB/s)."""
+    del max_count
     from ..ops.compact import compact_scalars
+    from ..ops.pallas.decode_kernel import count_segments_pallas
 
-    counts = count_segments(
-        words, gaps, total_bits, dec, spec=spec, seg_bits=seg_bits,
-        max_count=max_count, method="canonical",
-    )
+    s = gaps.shape[0]
+    starts = jnp.arange(s, dtype=jnp.int32) * seg_bits + gaps
+    nxt = jnp.concatenate([starts[1:], total_bits[None]])
+    budgets = jnp.minimum(nxt, total_bits) - starts
+    counts = count_segments_pallas(
+        words, gaps, budgets, dec, spec=spec, seg_bits=seg_bits,
+        n_segs=s, interpret=interpret,
+    )[:s]
     last_raw = counts[-1]
     excess = jnp.sum(counts) - original_size
     counts = counts.at[-1].add(-excess)
@@ -279,6 +288,7 @@ def _decode_pallas_planned(words_j, gaps_j, dec, spec, table, n_segs,
         jnp.int32(original_size), dec, spec=spec, seg_bits=_SEGMENT_BITS,
         max_count=_SEGMENT_BITS // max(spec.min_len, 1) + 1,
         out_cap=original_size,
+        interpret=jax.default_backend() != "tpu",
     )
     scal_h = np.asarray(scal)
     mx, excess, last_raw = int(scal_h[0]), int(scal_h[1]), int(scal_h[2])

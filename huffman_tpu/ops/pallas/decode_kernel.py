@@ -230,6 +230,223 @@ def _kernel(lim_ref, bias_ref, gaps_ref, counts_ref, segw_ref, out_ref, *,
     )
 
 
+def _count_kernel(lim_ref, gaps_ref, budget_ref, segw_ref, out_ref, *,
+                  rows, max_len, min_len, chain, iters):
+    """Pass-1 symbol COUNTING for gap-only streams (the reference's counting
+    pass, `decoder.cu:529-569`), with the same register/refill machinery as
+    `_kernel` but lengths only: count symbols whose start offset (relative
+    to the segment's first codeword) lies inside ``budget`` bits.  The XLA
+    `count_segments` scan gathers `words[pos>>5]` once per segment per
+    step (~30 ns/element — it capped foreign-container decode at
+    0.03 GB/s); this kernel is gather-free."""
+    segw = segw_ref[:]
+    gap = gaps_ref[:]
+    budget = budget_ref[:]
+
+    u32 = jnp.uint32
+    shape = (SUBLANES, LANES)
+    n_pairs = rows // 2
+
+    gsh = gap.astype(u32)
+    w = [pltpu.bitcast(segw[j], u32) for j in range(4)]
+
+    def algn(a, b):
+        return (a << gsh) | ((b >> u32(1)) >> (u32(31) - gsh))
+
+    a0 = algn(w[0], w[1])
+    a1 = algn(w[1], w[2])
+    s2 = algn(w[2], w[3])
+    s3 = w[3] << gsh
+    valid = 128 - gap
+    pptr = jnp.full(shape, 2, jnp.int32)
+
+    def _chain_len(win):
+        if chain is not None:
+            flags = [
+                (win >= lim_ref[0, l]).astype(jnp.int32)
+                if wt == 1
+                else jnp.where(win >= lim_ref[0, l], wt, 0)
+                for (l, wt) in chain
+            ]
+        else:
+            flags = [
+                (win >= lim_ref[0, l]).astype(jnp.int32)
+                for l in range(min_len, max_len)
+            ]
+        while len(flags) > 1:
+            nxt = [a + b for a, b in zip(flags[::2], flags[1::2])]
+            if len(flags) % 2:
+                nxt.append(flags[-1])
+            flags = nxt
+        return min_len + flags[0] if flags else jnp.full(shape, min_len, jnp.int32)
+
+    def step_one(a0, a1, consumed, cnt):
+        ln = _chain_len(a0)
+        cnt = cnt + (consumed < budget).astype(jnp.int32)
+        consumed = consumed + ln
+        lns = ln.astype(u32)
+        a0 = (a0 << lns) | (a1 >> (u32(32) - lns))
+        a1 = a1 << lns
+        return a0, a1, consumed, cnt
+
+    def catch_up(a0, a1, s2, s3, l4):
+        t2 = 64 - l4
+        um = (t2 & 31).astype(u32)
+        ub = t2 >= 32
+        xhi = jnp.where(ub, u32(0), s2 >> um)
+        xlo = jnp.where(
+            ub, s2 >> um, ((s2 << u32(1)) << (u32(31) - um)) | (s3 >> um)
+        )
+        a0 = a0 | xhi
+        a1 = a1 | xlo
+        rm = (l4 & 31).astype(u32)
+        rb = l4 >= 32
+        s2n = jnp.where(
+            rb,
+            jnp.where(l4 >= 64, u32(0), s3 << rm),
+            (s2 << rm) | ((s3 >> u32(1)) >> (u32(31) - rm)),
+        )
+        s3n = jnp.where(rb, u32(0), s3 << rm)
+        return a0, a1, s2n, s3n
+
+    def gather_pair(need, pptr):
+        w0 = jnp.zeros(shape, jnp.int32)
+        w1 = jnp.zeros(shape, jnp.int32)
+        for q in range(2, n_pairs):
+            m = pptr == q
+            w0 = w0 | jnp.where(m, segw[2 * q], 0)
+            w1 = w1 | jnp.where(m, segw[2 * q + 1], 0)
+        w0 = jnp.where(need, pltpu.bitcast(w0, u32), u32(0))
+        w1 = jnp.where(need, pltpu.bitcast(w1, u32), u32(0))
+        return w0, w1
+
+    def pair_refill(a0, a1, s2, s3, valid, pptr):
+        need = valid <= 64
+        w0, w1 = gather_pair(need, pptr)
+        qhi = w0 >> u32(1)
+        qlo = (w0 << u32(31)) | (w1 >> u32(1))
+        u = valid - 1
+        um = (u & 31).astype(u32)
+        ub = u >= 32
+        xhi = jnp.where(ub, u32(0), qhi >> um)
+        xlo = jnp.where(
+            ub, qhi >> um, ((qhi << u32(1)) << (u32(31) - um)) | (qlo >> um)
+        )
+        a0 = a0 | xhi
+        a1 = a1 | xlo
+        t = 64 - valid
+        tm = (t & 31).astype(u32)
+        tb = t >= 32
+        s2n = jnp.where(
+            tb, w1 << tm, (w0 << tm) | ((w1 >> u32(1)) >> (u32(31) - tm))
+        )
+        s3n = jnp.where(tb, u32(0), w1 << tm)
+        s2 = jnp.where(need, s2n, s2)
+        s3 = jnp.where(need, s3n, s3)
+        valid = valid + jnp.where(need, 64, 0)
+        pptr = pptr + need.astype(jnp.int32)
+        return a0, a1, s2, s3, valid, pptr
+
+    def quad(a0, a1, s2, s3, valid, pptr, consumed, cnt):
+        l0 = consumed
+        a0, a1, consumed, cnt = step_one(a0, a1, consumed, cnt)
+        a0, a1, consumed, cnt = step_one(a0, a1, consumed, cnt)
+        a0, a1, consumed, cnt = step_one(a0, a1, consumed, cnt)
+        a0, a1, consumed, cnt = step_one(a0, a1, consumed, cnt)
+        l4 = consumed - l0
+        a0, a1, s2, s3 = catch_up(a0, a1, s2, s3, l4)
+        valid = valid - l4
+        a0, a1, s2, s3, valid, pptr = pair_refill(
+            a0, a1, s2, s3, valid, pptr
+        )
+        return a0, a1, s2, s3, valid, pptr, consumed, cnt
+
+    def body(j, st):
+        a0, a1, s2, s3, valid, pptr, consumed, cnt = st
+        for _ in range(4):
+            a0, a1, s2, s3, valid, pptr, consumed, cnt = quad(
+                a0, a1, s2, s3, valid, pptr, consumed, cnt
+            )
+        return (a0, a1, s2, s3, valid, pptr, consumed, cnt)
+
+    st = (
+        a0, a1, s2, s3, valid, pptr,
+        jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32),
+    )
+    st = jax.lax.fori_loop(0, iters, body, st, unroll=False)
+    out_ref[:] = st[-1]
+
+
+def count_segments_pallas(
+    words: jnp.ndarray,
+    gaps: jnp.ndarray,
+    budgets: jnp.ndarray,
+    dec: DeviceDecTable,
+    *,
+    spec: DecSpec,
+    seg_bits: int,
+    n_segs: int,
+    interpret: bool = False,
+):
+    """Gap-only pass 1 on the VPU (traceable): returns (n_segs_p,) int32
+    symbol counts.  ``budgets[i]`` = bits from segment i's first codeword
+    start to segment i+1's (i.e. ``seg_bits + gap[i+1] - gap[i]``, the last
+    clipped to the stream end); pad segments must have budget <= 0."""
+    wps = seg_bits // 32
+    if wps < 4:
+        raise ValueError("count_segments_pallas requires seg_bits >= 128")
+    rows = wps + 2
+    tiles = _cdiv(n_segs, TILE_SEGS)
+    n_segs_p = tiles * TILE_SEGS
+
+    need_words = (n_segs_p + 1) * wps
+    n_copy = min(int(words.shape[0]), need_words)
+    words_p = jnp.zeros(need_words, jnp.uint32).at[:n_copy].set(words[:n_copy])
+    arr = words_p.reshape(n_segs_p + 1, wps)
+    segw = jnp.concatenate([arr[:-1], arr[1:, :2]], axis=1)
+    segw = (
+        jax.lax.bitcast_convert_type(segw, jnp.int32)
+        .T.reshape(rows, tiles * SUBLANES, LANES)
+    )
+
+    def pad_to(x):
+        out = jnp.zeros(n_segs_p, jnp.int32)
+        return out.at[: x.shape[0]].set(x[:n_segs_p].astype(jnp.int32))
+
+    gaps_r = pad_to(gaps).reshape(tiles * SUBLANES, LANES)
+    budgets_r = pad_to(budgets).reshape(tiles * SUBLANES, LANES)
+
+    lim = jnp.zeros((1, 32), jnp.uint32).at[0, : dec.lim_left.shape[0]].set(
+        dec.lim_left
+    )
+    min_len = max(min(spec.min_len, spec.max_len), 1)
+    max_syms = (seg_bits + spec.max_len) // min_len + 1
+    iters = _cdiv(max_syms, 16)
+
+    kern = functools.partial(
+        _count_kernel, rows=rows, max_len=spec.max_len, min_len=min_len,
+        chain=spec.chain, iters=iters,
+    )
+    counts = pl.pallas_call(
+        kern,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (rows, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((tiles * SUBLANES, LANES), jnp.int32),
+        interpret=interpret,
+    )(lim, gaps_r, budgets_r, segw)
+    return counts.reshape(n_segs_p)
+
+
 def _interpret_default() -> bool:
     return jax.default_backend() not in ("tpu",)
 

@@ -87,6 +87,40 @@ def test_encode_fast_matches_encode_block(gen, seed, seg_bits):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
 
 
+@pytest.mark.parametrize("seg_bits", [128, 1024])
+@pytest.mark.parametrize("gen,seed", [("red0.5", 20), ("binom", 21)])
+def test_count_segments_pallas_matches_xla(gen, seed, seg_bits):
+    """The Pallas counting kernel (gap-only pass 1) must reproduce the XLA
+    `count_segments` scan exactly — it replaces it on TPU, where the scan's
+    per-step `words[pos>>5]` gather costs ~30 ns/element."""
+    from huffman_tpu.ops.pallas.decode_kernel import count_segments_pallas
+
+    if gen == "binom":
+        data = generate_binomial(40_000, seed=seed)
+    else:
+        data = generate_redundant(40_000, float(gen[3:]), seed=seed)
+    table = make_table(data)
+    words_np, total_bits = npref.encode_bits(data, table)
+    gaps_np, counts_ref, _ = npref.segment_metadata(data, table, seg_bits)
+    dec = device_dec_table(table, two_level=False)
+    spec = dec_spec(table)
+    s = len(gaps_np)
+    starts = np.arange(s, dtype=np.int64) * seg_bits + gaps_np
+    nxt = np.concatenate([starts[1:], [total_bits]])
+    budgets = (np.minimum(nxt, total_bits) - starts).astype(np.int32)
+    got = count_segments_pallas(
+        jnp.asarray(words_np),
+        jnp.asarray(np.asarray(gaps_np, np.int32)),
+        jnp.asarray(budgets),
+        dec,
+        spec=spec,
+        seg_bits=seg_bits,
+        n_segs=s,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got)[:s], counts_ref)
+
+
 @pytest.mark.parametrize("method", ["lut", "canonical", "twolevel"])
 @pytest.mark.parametrize("gen,seed", [("red0.5", 3), ("red0.1", 4), ("binom", 5)])
 def test_decode_roundtrip(method, gen, seed):
