@@ -205,9 +205,11 @@ class GapArrayCodec:
         max_len = int(self.table.max_len_present)
         max_words = _round_up(_cdiv(b * max_len, 32), 512)
         n_segs = _cdiv(max_words * 32, self.seg_bits)
-        if b % 4096 == 0:
+        if b % 4096 == 0 and b <= (1 << 26):
             # gather-free Pallas translation stage (encode_block_fast);
-            # bit-identical to encode_block (pinned by tests)
+            # bit-identical to encode_block (pinned by tests).  Capped at
+            # 64 MiB blocks: at 128 MiB the XLA placement's scatter
+            # temporaries exceeded HBM at compile time (16.5 GB program)
             from ..ops.encode import encode_block_fast
 
             f = functools.partial(
