@@ -20,8 +20,9 @@ sys.path.insert(0, ".")
 
 import jax
 
-if jax.default_backend() != "cpu":
-    jax.config.update("jax_platforms", "cpu")
+# BEFORE any backend probe: the container pins the TPU platform via the
+# config API, and probing (`default_backend()`) would initialize it
+jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np
