@@ -283,39 +283,27 @@ def compact_apply(
         raise ValueError("rank matrix would overlap the metadata lanes")
     plan = statics
     n_segs, s_pad = plan.n_segs, plan.s_pad
-    # row width stays 128 lanes: Mosaic requires HBM window-DMA slices
-    # lane-aligned to the (1, 128) tiling, so a narrow (out_rows+2)-lane
-    # array cannot be DMA'd (measured attempt r4; a 2-segments-per-row
-    # packing would halve the traffic within the constraint — see
-    # docs/PERF.md §6)
-    row_lanes = 128
-
-    rows = _rows_lsb(packed)  # (n_segs_p, out_rows)
-    r0 = min(rows.shape[0], s_pad)
-    rows = rows[:r0]
-    if r0 < s_pad:
-        rows = jnp.pad(rows, ((0, s_pad - r0), (0, 0)))
-
-    # per-segment output offsets from the device counts (cumsum): beyond the
-    # real segments counts are 0, so rows there mask to nothing wherever
-    # their (stale) offsets land
-    cnt_pad = jnp.zeros(s_pad, jnp.int32).at[:n_segs].set(
+    # per-segment output offsets from the device counts (cumsum): beyond
+    # the real segments counts are 0, so rows there mask to nothing
+    # wherever their (stale) offsets land
+    s_p = int(packed.shape[1])
+    cnt_pad = jnp.zeros(s_p, jnp.int32).at[:n_segs].set(
         counts_dev[:n_segs].astype(jnp.int32)
     )
     ends = jnp.cumsum(cnt_pad, dtype=jnp.int32)
     off_pad = ends - cnt_pad
 
-    # rank rows with the per-segment metadata in the top two lanes (one
-    # array -> one window DMA per chunk in the kernel)
-    pad_w = row_lanes - 2 - out_rows
-    rows = jnp.concatenate(
-        [
-            rows,
-            jnp.zeros((s_pad, pad_w), jnp.int32),
-            off_pad[:, None],
-            cnt_pad[:, None],
-        ],
-        axis=1,
+    # rank rows with the per-segment metadata in the top two lanes, built
+    # by the XLU-transpose assembly kernel — the XLA transpose + pad +
+    # metadata-update form cost ~5 ms of a 16 ms 64 MB decode.  (Rows stay
+    # 128 lanes wide: Mosaic requires window-DMA slices lane-aligned to
+    # the (1, 128) tiling, so a narrow array cannot be DMA'd.)
+    from .pallas.compact_kernel import rows_assemble_pallas
+
+    rows = rows_assemble_pallas(
+        packed, off_pad, cnt_pad,
+        s_rows=_round_up(max(s_pad, s_p), 128),
+        interpret=interpret,
     )
 
     out_t = ragged_concat_pallas(

@@ -246,6 +246,66 @@ def ragged_concat_pallas(
     )(bases, s0, rows, symlo, symhi)
 
 
+def _assemble_kernel(src_ref, out_ref, *, orows):
+    """Transpose one 128-segment column block of the extended rank matrix
+    (ranks + off/cnt rows) into 128 placement rows, meta in the top lanes."""
+    t = jnp.transpose(src_ref[:], (1, 0))  # (128 segs, orows_p8 + pad)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    full = jnp.pad(t[:, :orows], ((0, 0), (0, LANES - orows)))
+    off_c = jax.lax.slice_in_dim(t, orows, orows + 1, axis=1)
+    cnt_c = jax.lax.slice_in_dim(t, orows + 1, orows + 2, axis=1)
+    full = jnp.where(iota_l == OFF_LANE, off_c, full)
+    full = jnp.where(iota_l == CNT_LANE, cnt_c, full)
+    out_ref[:] = full
+
+
+@functools.partial(jax.jit, static_argnames=("s_rows", "interpret"))
+def rows_assemble_pallas(packed, offs, cnts, *, s_rows, interpret=False):
+    """Build the placement-row matrix on the VPU (traceable).
+
+    The XLA form (transpose + pad + metadata-lane updates) cost ~5 ms of a
+    16 ms 64 MB decode; this kernel transposes 128-segment blocks through
+    the XLU and writes the (s_rows, 128) row matrix directly.
+
+    Args:
+      packed: (out_rows, S_p) int32 LSB-first rank words, out_rows <= 120.
+      offs/cnts: (S_p,) int32 per-segment output offset / byte count
+        (pad segments: any offset, count 0).
+      s_rows: output row count, a multiple of 128, >= the placement plan's
+        s_pad (rows past S_p are zero-filled with count 0).
+    """
+    orows, s_p = packed.shape
+    assert s_rows % LANES == 0 and s_rows >= s_p
+    orows_p = _cdiv(orows + 2, SUBLANES) * SUBLANES
+    ext = jnp.concatenate(
+        [
+            packed,
+            offs[None, :].astype(jnp.int32),
+            cnts[None, :].astype(jnp.int32),
+            jnp.zeros((orows_p - orows - 2, s_p), jnp.int32),
+        ],
+        axis=0,
+    )
+    if s_rows > s_p:
+        # beyond the real segment grid: count 0, offset irrelevant
+        ext = jnp.concatenate(
+            [ext, jnp.zeros((orows_p, s_rows - s_p), jnp.int32)], axis=1
+        )
+    kern = functools.partial(_assemble_kernel, orows=orows)
+    return pl.pallas_call(
+        kern,
+        grid=(s_rows // LANES,),
+        in_specs=[
+            pl.BlockSpec((orows_p, LANES), lambda j: (0, j),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((LANES, LANES), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s_rows, LANES), jnp.int32),
+        interpret=interpret,
+    )(ext)
+
+
 def plan_tiles(counts: np.ndarray, out_size: int):
     """Host-side band certification for one block.
 
