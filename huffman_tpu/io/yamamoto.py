@@ -283,36 +283,48 @@ def _decode_pallas_planned(words_j, gaps_j, dec, spec, table, n_segs,
     )
     from ..ops.pallas.decode_kernel import fused_planned_decode
 
-    counts, scal = _yam_meta(
-        words_j, gaps_j, jnp.int32((int(words_j.shape[0]) - 2) * 32),
-        jnp.int32(original_size), dec, spec=spec, seg_bits=_SEGMENT_BITS,
-        max_count=_SEGMENT_BITS // max(spec.min_len, 1) + 1,
-        out_cap=original_size,
-        interpret=jax.default_backend() != "tpu",
-    )
-    scal_h = np.asarray(scal)
-    mx, excess, last_raw = int(scal_h[0]), int(scal_h[1]), int(scal_h[2])
-    if excess < 0 or excess > last_raw:
-        raise ValueError("corrupt container: symbol count mismatch")
-    if mx > MAX_ROW_BYTES:
-        return None
-    try:
-        band, s_cap, chunk_bytes = pick_chunk(scal_h[3:])
-    except ValueError:
-        return None
-    statics = CompactStatics(
-        out_size=original_size,
-        n_segs=n_segs,
-        band=band,
-        s_cap=s_cap,
-        s_pad=_round_up(max(n_segs, 1), 8) + s_cap,
-        chunk_bytes=chunk_bytes,
-        n_tiles=-(-original_size // TILE_BYTES),
-    )
-    symlo, symhi = _sym_tiles(np.asarray(table.symtab, np.uint8))
-    return fused_planned_decode(
-        words_j, gaps_j, counts, symlo, symhi, dec, spec=spec,
-        seg_bits=_SEGMENT_BITS, n_segs=n_segs,
-        max_count=-(-max(mx, 1) // 8) * 8, statics=statics,
-        interpret=jax.default_backend() != "tpu",
-    )
+    # MERGE the reference's 128-bit segments in groups of up to 8: the
+    # bitstream is continuous, so every 8th gap is an exact entry point
+    # for a 1024-bit effective segment, and the per-ROW overheads of
+    # counting and banded placement amortize over 8x the bytes (measured
+    # 0.42 GB/s unmerged).  Finer merges retried when merged counts would
+    # exceed the placement row budget (dense sub-2-bit content).
+    interpret = jax.default_backend() != "tpu"
+    for g_merge in (8, 2, 1):
+        seg_eff = _SEGMENT_BITS * g_merge
+        gaps_g = gaps_j[::g_merge]
+        n_segs_g = -(-n_segs // g_merge)
+        counts, scal = _yam_meta(
+            words_j, gaps_g, jnp.int32((int(words_j.shape[0]) - 2) * 32),
+            jnp.int32(original_size), dec, spec=spec, seg_bits=seg_eff,
+            max_count=seg_eff // max(spec.min_len, 1) + 1,
+            out_cap=original_size,
+            interpret=interpret,
+        )
+        scal_h = np.asarray(scal)
+        mx, excess, last_raw = int(scal_h[0]), int(scal_h[1]), int(scal_h[2])
+        if excess < 0 or excess > last_raw:
+            raise ValueError("corrupt container: symbol count mismatch")
+        if mx > MAX_ROW_BYTES:
+            continue  # merged segments too dense: retry finer
+        try:
+            band, s_cap, chunk_bytes = pick_chunk(scal_h[3:])
+        except ValueError:
+            continue
+        statics = CompactStatics(
+            out_size=original_size,
+            n_segs=n_segs_g,
+            band=band,
+            s_cap=s_cap,
+            s_pad=_round_up(max(n_segs_g, 1), 8) + s_cap,
+            chunk_bytes=chunk_bytes,
+            n_tiles=-(-original_size // TILE_BYTES),
+        )
+        symlo, symhi = _sym_tiles(np.asarray(table.symtab, np.uint8))
+        return fused_planned_decode(
+            words_j, gaps_g, counts, symlo, symhi, dec, spec=spec,
+            seg_bits=seg_eff, n_segs=n_segs_g,
+            max_count=-(-max(mx, 1) // 8) * 8, statics=statics,
+            interpret=interpret,
+        )
+    return None
