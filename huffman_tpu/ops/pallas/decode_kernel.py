@@ -688,6 +688,26 @@ def decode_blocks_pallas(
     counts_h = np.ascontiguousarray(counts, np.int64)
     symlo, symhi = _sym_tiles(np.asarray(symtab, np.uint8))
 
+    # 2-wide segment MERGE (measured +28%, v5e 64 MB r=0.5: 10.5 vs
+    # 13.5 ms): the bitstream is continuous, so every 2nd gap is an exact
+    # entry point for a double-width segment, and the placement kernel's
+    # per-row cost amortizes over twice the bytes — which beats the ranks
+    # kernel's doubled refill one-hot.  Gated on every merged pair fitting
+    # the placement row budget and on the doubled per-tile VMEM window.
+    from ..compact import MAX_ROW_BYTES as _MRB
+
+    if n_segs >= 2 and seg_bits <= 1024:
+        n2 = -(-n_segs // 2)
+        cpad = np.zeros((g, n2 * 2), np.int64)
+        cpad[:, :n_segs] = counts_h
+        c2 = cpad.reshape(g, n2, 2).sum(2)
+        if int(c2.max()) <= _MRB:
+            counts_h = c2
+            gaps_h = np.ascontiguousarray(gaps_h[:, ::2], np.int32)
+            n_segs = n2
+            seg_bits = 2 * seg_bits
+            max_count = -(-int(c2.max()) // 8) * 8
+
     if out_size % TILE_BYTES == 0 and out_size <= GROUP_OUT_BYTES:
         gg = max(GROUP_OUT_BYTES // max(out_size, 1), 1)
     else:

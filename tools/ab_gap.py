@@ -153,7 +153,34 @@ def main():
             return acc
         return f, (x0, *aux)
 
+    # 2-wide merged-segment variant: every 2nd gap is an exact 2048-bit
+    # entry point; counts pair-sum on host.  Halves placement rows, but
+    # doubles the ranks kernel's refill one-hot candidates — A/B decides.
+    ns2 = ns // 2
+    gaps2_h = gaps_h[::2][:ns2]
+    counts2_h = counts_h[:ns2 * 2].reshape(-1, 2).sum(1).astype(np.int32)
+    plan2 = plan_compact(counts2_h.astype(np.int64), size)
+    s2p = plan2.statics
+    log(f"merged: n_segs={ns2} max={counts2_h.max()} band={s2p.band}")
+    gaps2_j = jnp.asarray(gaps2_h)
+    counts2_j = jnp.asarray(counts2_h)
+    bases2_j = jnp.asarray(plan2.bases)
+    s02_j = jnp.asarray(plan2.s0_rel)
+    rk2 = dict(spec=codec.spec, seg_bits=2 * codec.seg_bits, n_segs=ns2,
+               max_count=-(-int(counts2_h.max()) // 8) * 8)
+
+    def fused_m(w, gaps, counts, bases, s0):
+        from huffman_tpu.ops.compact import compact_apply
+
+        packed = _ranks_traceable(w, gaps, counts, codec.dec, **rk2)
+        return compact_apply(
+            packed, counts, bases, s0, symlo, symhi, statics=s2p,
+        )
+
     makers = {}
+    makers["fused1m"] = lambda: chain(
+        fused_m, words, gaps2_j, counts2_j, bases2_j, s02_j
+    )
     makers["ranks"] = lambda: chain(ranks_t, words, gaps_j, counts_j)
     makers["rows"] = lambda: chain(rows_t, packed0, counts_j)
     for tps in (1, 4, 16):
