@@ -83,10 +83,20 @@ def _gap_fused_setup(args, codec, data):
     worst = int(counts.max())
     if worst > MAX_ROW_BYTES:
         return None
+    # same 2-wide segment merge as decode_blocks_pallas (+28% measured)
+    seg_bits = codec.seg_bits
+    if ns >= 2 and seg_bits <= 1024:
+        c2 = counts.reshape(-1, 2).sum(1)
+        if int(c2.max()) <= MAX_ROW_BYTES:
+            counts = c2.astype(np.int32)
+            gaps = np.ascontiguousarray(gaps[::2])
+            ns //= 2
+            seg_bits *= 2
+            worst = int(c2.max())
     plan = plan_compact(counts.astype(np.int64), size)
     symlo, symhi = _sym_tiles(np.asarray(codec.table.symtab, np.uint8))
     kw = dict(
-        spec=codec.spec, seg_bits=codec.seg_bits, n_segs_b=ns,
+        spec=codec.spec, seg_bits=seg_bits, n_segs_b=ns,
         max_count=-(-worst // 8) * 8, statics=plan.statics,
     )
     arrs = (
