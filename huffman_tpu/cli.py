@@ -56,12 +56,13 @@ def _add_codec_args(p):
 class _RefFormatCodec:
     """Adapter: reference-format blobs behind the codec interface."""
 
-    def __init__(self, fmt, data, max_len):
+    def __init__(self, fmt, data, max_len, method=None):
         from .core import npref
         from .core.canonical import canonical_code_table
         from .core.package_merge import package_merge_lengths
 
         self.fmt = fmt
+        self.method = method  # None -> TPU-aware default inside the reader
         self.table = canonical_code_table(
             package_merge_lengths(npref.histogram(data), max_len), max_len
         )
@@ -80,12 +81,15 @@ class _RefFormatCodec:
 
         if self.fmt == "seq":
             return decode_seq(blob)
-        return decode_yamamoto(blob)
+        return decode_yamamoto(blob, method=self.method)
 
 
 def _make_codec(args, data):
     if args.format in ("yamamoto", "seq"):
-        return _RefFormatCodec(args.format, data, args.max_len)
+        return _RefFormatCodec(
+            args.format, data, args.max_len,
+            method=None if args.method == "auto" else args.method,
+        )
     if args.format == "ils":
         from .models import IlsCodec
 
@@ -158,7 +162,13 @@ def cmd_decode(args):
         from .io.yamamoto import decode_yamamoto
 
         t0 = time.perf_counter()
-        out = decode_seq(blob) if fmt == "seq" else decode_yamamoto(blob)
+        out = (
+            decode_seq(blob)
+            if fmt == "seq"
+            else decode_yamamoto(
+                blob, method=None if args.method == "auto" else args.method
+            )
+        )
         dt = time.perf_counter() - t0
         out.tofile(args.output)
         print(f"Decompressed {out.size} bytes in {dt * 1e3:.1f} ms "

@@ -178,11 +178,13 @@ def decode_yamamoto(buf: bytes, method: str | None = None) -> np.ndarray:
     gather-bound XLA scan (the reference's own demo runs its fast
     `gpu_dec_l1_l2` path by default, `decoder/src/huff.cpp:27-146`).
     """
-    from ..models.gap_codec import default_gap_method
+    from ..models.gap_codec import default_gap_method, warn_if_gather_bound
     from ..ops import dec_spec, device_dec_table
 
     if method is None:
         method = default_gap_method()
+    else:
+        warn_if_gather_bound(method, "decode_yamamoto")
     table, words, gaps, original_size = read_yamamoto(buf)
     if original_size == 0:
         return np.zeros(0, np.uint8)

@@ -173,13 +173,24 @@ def ils_sharded_certified_encode(
     ValueError for sections that need the two-pass path (use the
     single-device codec for those).
     """
-    from ..ops.ils import certify_params, fused_e_band
+    from ..ops.ils import FUSED_STRIDE_BUDGET, certify_params, fused_e_band
 
     n_dev = mesh.devices.size
     n_tiles = n_dev * tiles_per_device
     n_win = ils_n_win(k)
     snum = ils_schedule_numer(avg_bits)
     stride_rows = max(2 * (-(-k * max_len // 64)), 4)
+    # the same feasibility gates the single-device path applies BEFORE any
+    # kernel launches (`ops/ils.py::ils_encode_to_device`): stride_rows < 8
+    # can never pass the compact gate, and past FUSED_STRIDE_BUDGET the pack
+    # scratch exceeds VMEM — launching anyway dies in a Mosaic compile
+    # failure (which can wedge the shared TPU tunnel) instead of the clean
+    # ValueError promised below
+    if stride_rows < 8 or stride_rows > FUSED_STRIDE_BUDGET:
+        raise ValueError(
+            f"stride_rows={stride_rows} outside the fused certify+pack "
+            "budget; this section needs the two-pass single-device path"
+        )
     e_band = fused_e_band(k)
     params_j = jnp.asarray(np.array([snum, 0], np.int32))
 

@@ -44,6 +44,32 @@ def test_yamamoto_roundtrip_device(r):
     assert np.array_equal(out, data)
 
 
+def test_yamamoto_pallas_path_roundtrip():
+    # ADVICE r4: the TPU-default Pallas planned path (segment merge +
+    # fused ranks/placement) was only exercised by TPU bench runs; off-TPU
+    # it engages in interpret mode when forced.  Size chosen so n_segs is
+    # NOT a multiple of the 8-wide merge.
+    data = generate_redundant(60_000, 0.5, seed=21)
+    blob = write_yamamoto(data, _fit(data))
+    _, _, gaps, _ = read_yamamoto(blob)
+    assert gaps.shape[0] % 8 != 0  # exercise the ragged merge tail
+    out = decode_yamamoto(blob, method="pallas")
+    assert np.array_equal(out, data)
+
+
+def test_yamamoto_pallas_corrupt_count():
+    # bump the header's original_size: the device-counted symbols no longer
+    # cover it, and the merged-last-segment excess correction must reject
+    data = generate_redundant(20_000, 0.5, seed=22)
+    blob = bytearray(write_yamamoto(data, _fit(data)))
+    (symbol_count,) = np.frombuffer(blob[:8], np.uint64)
+    off = 8 + 2 * int(symbol_count)
+    orig = int(np.frombuffer(blob[off : off + 4], np.uint32)[0])
+    blob[off : off + 4] = np.uint32(orig + 4096).tobytes()
+    with pytest.raises(ValueError):
+        decode_yamamoto(bytes(blob), method="pallas")
+
+
 def test_yamamoto_header_fields():
     data = generate_redundant(10_000, 0.5, seed=12)
     table = _fit(data)
