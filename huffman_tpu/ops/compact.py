@@ -92,6 +92,9 @@ class CompactStatics(NamedTuple):
     s_pad: int
     chunk_bytes: int
     n_tiles: int
+    # frame-window width for the chunk-shared kernel (0: infeasible at this
+    # chunk size — the banded kernel is the only option)
+    w_f: int = 0
 
 
 class CompactPlan(NamedTuple):
@@ -100,6 +103,7 @@ class CompactPlan(NamedTuple):
     statics: CompactStatics
     bases: np.ndarray  # (n_chunks,) int32 window base row per chunk
     s0_rel: np.ndarray  # (n_chunks * tpc,) int32 window-relative band starts
+    ngroups: np.ndarray | None = None  # (n_chunks,) 8-row groups per window
 
 
 def plan_compact(counts: np.ndarray, out_size: int) -> CompactPlan:
@@ -155,13 +159,23 @@ def plan_compact(counts: np.ndarray, out_size: int) -> CompactPlan:
         s_first_all.astype(np.int64) - bases[tile_chunk],
         0, s_cap - band,
     ).astype(np.int32)
+    # chunk-shared kernel inputs: 8-row groups per window + the static
+    # frame-window bound (one group spans <= 8*max_cnt contiguous output
+    # bytes from an arbitrary in-frame start)
+    ngroups = np.clip(
+        -(-(sc1 - bases) // SUBLANES), 0, s_cap // SUBLANES
+    ).astype(np.int32)
+    w_f = int(8 * counts.max(initial=0)) // 512 + 2
+    if w_f > chunk_bytes // 512:
+        w_f = 0  # infeasible window at this chunk size: banded only
     return CompactPlan(
         statics=CompactStatics(
             out_size=int(out_size), n_segs=n_segs, band=band, s_cap=s_cap,
-            s_pad=s_pad, chunk_bytes=chunk_bytes, n_tiles=n_tiles,
+            s_pad=s_pad, chunk_bytes=chunk_bytes, n_tiles=n_tiles, w_f=w_f,
         ),
         bases=bases,
         s0_rel=s0_rel,
+        ngroups=ngroups,
     )
 
 
@@ -178,6 +192,7 @@ def compact_plan_arrays(counts_dev: jnp.ndarray, *, statics: CompactStatics):
     s = statics
     cnt = counts_dev[: s.n_segs].astype(jnp.int32)
     ends = jnp.cumsum(cnt, dtype=jnp.int32)
+    offs = ends - cnt
     tpc = s.chunk_bytes // TILE_BYTES
     n_chunks = _cdiv(s.out_size, s.chunk_bytes)
     tile_lo = jnp.arange(s.n_tiles, dtype=jnp.int32) * TILE_BYTES
@@ -190,7 +205,15 @@ def compact_plan_arrays(counts_dev: jnp.ndarray, *, statics: CompactStatics):
     )
     s0 = jnp.clip(s_first - bases[tile_chunk], 0, s.s_cap - s.band)
     s0_rel = jnp.zeros(n_chunks * tpc, jnp.int32).at[: s.n_tiles].set(s0)
-    return bases, s0_rel
+    sc1 = jnp.searchsorted(
+        offs,
+        jnp.minimum(chunk_lo + s.chunk_bytes, s.out_size),
+        side="left",
+    ).astype(jnp.int32)
+    ngroups = jnp.clip(
+        -(-(sc1 - bases) // SUBLANES), 0, s.s_cap // SUBLANES
+    )
+    return bases, s0_rel, ngroups
 
 
 def compact_scalars(counts_dev: jnp.ndarray, out_cap_bytes: int):
@@ -263,6 +286,8 @@ def compact_apply(
     *,
     statics: CompactStatics,
     tps: int | None = None,
+    ngroups: jnp.ndarray | None = None,
+    chunked: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Traceable device half of the placement: compose under the caller's jit.
@@ -273,6 +298,10 @@ def compact_apply(
       counts_dev: (n_segs,) int32 device copy of the planned counts.
       bases/s0_rel: device copies of plan.bases / plan.s0_rel.
       symlo/symhi: (8, 128) int32 rank->symbol lane tables (`_sym_tiles`).
+      ngroups/chunked: with ``chunked=True`` (requires statics.w_f > 0 and
+        plan.ngroups) the chunk-shared kernel replaces the banded one:
+        each window row group is processed once per chunk instead of once
+        per overlapping 4 KB tile.
 
     Returns a device (out_size,) uint8 array.
     """
@@ -283,6 +312,7 @@ def compact_apply(
         raise ValueError("rank matrix would overlap the metadata lanes")
     plan = statics
     n_segs, s_pad = plan.n_segs, plan.s_pad
+    use_chunked = chunked and plan.w_f > 0 and ngroups is not None
     # per-segment output offsets from the device counts (cumsum): beyond
     # the real segments counts are 0, so rows there mask to nothing
     # wherever their (stale) offsets land
@@ -298,38 +328,68 @@ def compact_apply(
     # metadata-update form cost ~5 ms of a 16 ms 64 MB decode.  (Rows stay
     # 128 lanes wide: Mosaic requires window-DMA slices lane-aligned to
     # the (1, 128) tiling, so a narrow array cannot be DMA'd.)
-    from .pallas.compact_kernel import rows_assemble_pallas
+    from .pallas.compact_kernel import (
+        ragged_concat_chunked_pallas,
+        rows_assemble_pallas,
+    )
 
+    s_rows = _round_up(max(s_pad, s_p), 128)
+    if use_chunked:
+        # the chunk kernel anchors each group's frame window at min(f) over
+        # its rows, so zero-filled padding rows (offset 0) beyond s_p must
+        # carry a LARGE offset sentinel instead — a stale-0 offset would
+        # drag a tail group's window to frame 0 and drop its real rows
+        big = jnp.int32(1 << 30)
+        ext = s_rows - s_p
+        packed = jnp.pad(packed, ((0, 0), (0, ext)))
+        off_pad = jnp.concatenate([off_pad, jnp.full(ext, big, jnp.int32)])
+        cnt_pad = jnp.concatenate([cnt_pad, jnp.zeros(ext, jnp.int32)])
     rows = rows_assemble_pallas(
-        packed, off_pad, cnt_pad,
-        s_rows=_round_up(max(s_pad, s_p), 128),
-        interpret=interpret,
+        packed, off_pad, cnt_pad, s_rows=s_rows, interpret=interpret
     )
 
-    out_t = ragged_concat_pallas(
-        rows,
-        bases,
-        s0_rel,
-        symlo,
-        symhi,
-        band=plan.band,
-        s_cap=plan.s_cap,
-        chunk_bytes=plan.chunk_bytes,
-        n_tiles=plan.n_tiles,
-        tps=tps,
-        interpret=interpret,
-    )
-    words = out_t[: plan.n_tiles].reshape(-1)
+    if use_chunked:
+        n_chunks = _cdiv(plan.out_size, plan.chunk_bytes)
+        frames = ragged_concat_chunked_pallas(
+            rows,
+            bases,
+            ngroups,
+            symlo,
+            symhi,
+            s_cap=plan.s_cap,
+            chunk_bytes=plan.chunk_bytes,
+            n_chunks=n_chunks,
+            w_f=plan.w_f,
+            interpret=interpret,
+        )
+        words = frames.reshape(-1)
+    else:
+        out_t = ragged_concat_pallas(
+            rows,
+            bases,
+            s0_rel,
+            symlo,
+            symhi,
+            band=plan.band,
+            s_cap=plan.s_cap,
+            chunk_bytes=plan.chunk_bytes,
+            n_tiles=plan.n_tiles,
+            tps=tps,
+            interpret=interpret,
+        )
+        words = out_t[: plan.n_tiles].reshape(-1)
     out = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1)
     return out[: plan.out_size]
 
 
-@functools.partial(jax.jit, static_argnames=("statics", "interpret"))
-def _compact_jit(packed, counts_dev, bases, s0_rel, symlo, symhi, *, statics,
-                 interpret):
+@functools.partial(
+    jax.jit, static_argnames=("statics", "chunked", "interpret")
+)
+def _compact_jit(packed, counts_dev, bases, s0_rel, ngroups, symlo, symhi, *,
+                 statics, chunked, interpret):
     return compact_apply(
         packed, counts_dev, bases, s0_rel, symlo, symhi, statics=statics,
-        interpret=interpret,
+        ngroups=ngroups, chunked=chunked, interpret=interpret,
     )
 
 
@@ -339,6 +399,7 @@ def compact_ranks_device(
     symtab: np.ndarray,
     out_size: int,
     *,
+    chunked: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Place + permute decoded ranks into the final byte stream, on device.
@@ -368,8 +429,10 @@ def compact_ranks_device(
         jnp.asarray(counts.astype(np.int32)),
         jnp.asarray(plan.bases),
         jnp.asarray(plan.s0_rel),
+        jnp.asarray(plan.ngroups),
         symlo,
         symhi,
         statics=plan.statics,
+        chunked=chunked and plan.statics.w_f > 0,
         interpret=interpret,
     )

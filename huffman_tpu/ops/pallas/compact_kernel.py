@@ -246,6 +246,156 @@ def ragged_concat_pallas(
     )(bases, s0, rows, symlo, symhi)
 
 
+def _chunk_kernel(base_ref, ng_ref, rows_hbm, symlo_ref, symhi_ref, out_ref,
+                  win, sem, *, s_cap, n_frames, w_f, chunk_bytes, row_lanes):
+    """Chunk-shared placement (VERDICT r5 item 2): each 8-row group of the
+    chunk's segment window is masked/rotated/rolled ONCE and scattered into
+    a W_F-frame window of the chunk's output block at a dynamic frame
+    offset — where the banded `_kernel` re-reads every band row once per
+    4 KB tile.  Work per chunk = O(window rows), not O(tiles x band)."""
+    c = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        rows_hbm.at[pl.ds(base_ref[c], s_cap)], win, sem
+    )
+    dma.start()
+    dma.wait()
+
+    out_ref[:] = jnp.zeros((n_frames, LANES), jnp.int32)
+    k0 = c * chunk_bytes
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+    u32 = jnp.uint32
+
+    def group(g, _):
+        rw = win[pl.ds(g * SUBLANES, SUBLANES), :]  # (8, row_lanes)
+        off8 = jax.lax.slice_in_dim(rw, row_lanes - 2, row_lanes - 1, axis=1)
+        cnt8 = jax.lax.slice_in_dim(rw, row_lanes - 1, row_lanes, axis=1)
+        row = (
+            rw
+            if row_lanes == LANES
+            else jnp.pad(rw, ((0, 0), (0, LANES - row_lanes)))
+        )
+
+        c4 = cnt8 >> 2
+        rem = cnt8 & 3
+        partial = (1 << (8 * rem)) - 1
+        mask = jnp.where(
+            iota_l < c4, -1, jnp.where(iota_l == c4, partial, 0)
+        )
+        row = row & mask
+
+        d = off8 - k0
+        a = d & 3
+        au = a.astype(u32)
+        cur = pltpu.bitcast(row, u32)
+        prev = jnp.where(
+            iota_l == 0, 0, pltpu.bitcast(jnp.roll(row, 1, axis=1), u32)
+        )
+        shifted = (cur << (8 * au)) | (
+            (prev >> u32(1)) >> (8 * (u32(4) - au) - u32(1))
+        )
+
+        q = d >> 2
+        qm = q & (LANES - 1)
+        f = q >> 7
+        idx = (iota_l - qm) & (LANES - 1)
+        rolled = pltpu.bitcast(
+            jnp.take_along_axis(shifted, idx, axis=1), jnp.int32
+        )
+        lo = jnp.where(iota_l >= qm, rolled, 0)
+        hi = rolled - lo
+
+        # dynamic frame window: rows are ordered, so the group spans
+        # [min(f), min(f) + w_f); clamp to the block (frames outside
+        # [0, n_frames) belong to neighbor chunks, which see these rows in
+        # their own windows)
+        f0 = jnp.clip(jnp.min(f), 0, n_frames - w_f)
+        frames = []
+        for wf in range(w_f):
+            af = f0 + wf
+            sel = jnp.where(f == af, lo, 0) + jnp.where(f == af - 1, hi, 0)
+            frames.append(jnp.sum(sel, axis=0, keepdims=True))
+        contrib = jnp.concatenate(frames, axis=0)  # (w_f, 128)
+        blk = out_ref[pl.ds(f0, w_f)]
+        out_ref[pl.ds(f0, w_f)] = blk | contrib
+        return 0
+
+    jax.lax.fori_loop(0, ng_ref[c], group, 0, unroll=False)
+
+    # canonical ranks -> symbols over the finished block, 8 frames at a time
+    def symmap(j, _):
+        acc = out_ref[pl.ds(j * SUBLANES, SUBLANES)]
+        out = jnp.zeros((SUBLANES, LANES), jnp.int32)
+        for b in range(4):
+            rk = (acc >> (8 * b)) & 255
+            sym = _lane_lookup(symlo_ref[:], symhi_ref[:], rk)
+            out = out | (sym << (8 * b))
+        out_ref[pl.ds(j * SUBLANES, SUBLANES)] = out
+        return 0
+
+    jax.lax.fori_loop(0, n_frames // SUBLANES, symmap, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("s_cap", "chunk_bytes", "n_chunks", "w_f", "interpret"),
+)
+def ragged_concat_chunked_pallas(
+    rows: jnp.ndarray,
+    bases: jnp.ndarray,
+    ngroups: jnp.ndarray,
+    symlo: jnp.ndarray,
+    symhi: jnp.ndarray,
+    *,
+    s_cap: int,
+    chunk_bytes: int,
+    n_chunks: int,
+    w_f: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Chunk-shared form of `ragged_concat_pallas`: same rows/bases layout,
+    but per chunk the kernel walks its window's row groups once
+    (``ngroups[c]`` groups of 8 from ``bases[c]``) instead of re-scanning a
+    band per tile.  ``w_f`` >= ceil((8 * max_row_bytes + chunk alignment) /
+    512) + 1 frames bounds one group's output span.  Returns
+    (n_chunks * chunk_bytes // 512, 128) int32 whose little-endian bitcast
+    is the symbol stream."""
+    assert chunk_bytes % (LANES * 4) == 0
+    n_frames = chunk_bytes // (LANES * 4)
+    assert w_f <= n_frames
+    row_lanes = int(rows.shape[1])
+    kern = functools.partial(
+        _chunk_kernel, s_cap=s_cap, n_frames=n_frames, w_f=w_f,
+        chunk_bytes=chunk_bytes, row_lanes=row_lanes,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((SUBLANES, LANES), lambda c, b, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda c, b, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_frames, LANES), lambda c, b, n: (c, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((s_cap, row_lanes), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks * n_frames, LANES), jnp.int32
+        ),
+        interpret=interpret,
+    )(bases, ngroups, rows, symlo, symhi)
+
+
 def _assemble_kernel(src_ref, out_ref, *, orows):
     """Transpose one 128-segment column block of the extended rank matrix
     (ranks + off/cnt rows) into 128 placement rows, meta in the top lanes."""

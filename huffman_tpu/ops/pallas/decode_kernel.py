@@ -578,10 +578,10 @@ def fused_planned_decode(
         words, gaps, counts, dec, spec=spec, seg_bits=seg_bits,
         n_segs=n_segs, max_count=max_count, interpret=interpret,
     )
-    bases, s0_rel = compact_plan_arrays(counts, statics=statics)
+    bases, s0_rel, ngroups = compact_plan_arrays(counts, statics=statics)
     return compact_apply(
         packed, counts, bases, s0_rel, symlo, symhi, statics=statics,
-        interpret=interpret,
+        ngroups=ngroups, chunked=statics.w_f > 0, interpret=interpret,
     )
 
 
@@ -594,12 +594,14 @@ GROUP_OUT_BYTES = 1 << 26  # 64 MiB
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "spec", "seg_bits", "n_segs_b", "max_count", "statics", "interpret"
+        "spec", "seg_bits", "n_segs_b", "max_count", "statics", "chunked",
+        "interpret",
     ),
 )
 def _fused_blocks(
-    words2d, gaps_flat, counts_flat, bases, s0_rel, symlo, symhi, dec, *,
-    spec, seg_bits, n_segs_b, max_count, statics, interpret,
+    words2d, gaps_flat, counts_flat, bases, s0_rel, ngroups, symlo, symhi,
+    dec, *, spec, seg_bits, n_segs_b, max_count, statics, chunked=False,
+    interpret=False,
 ):
     """The ENTIRE group decode — pad payload rows to the segment grid, ranks
     kernel, LSB transpose, row assembly, placement kernel — as ONE jitted
@@ -625,7 +627,7 @@ def _fused_blocks(
     )
     return compact_apply(
         packed, counts_flat, bases, s0_rel, symlo, symhi, statics=statics,
-        interpret=interpret,
+        ngroups=ngroups, chunked=chunked, interpret=interpret,
     )
 
 
@@ -640,6 +642,7 @@ def decode_blocks_pallas(
     seg_bits: int,
     max_count: int,
     out_size: int,
+    chunked: bool = True,
     interpret: bool = False,
 ):
     """Batched Pallas decode of G independent equal-size blocks.
@@ -724,6 +727,7 @@ def decode_blocks_pallas(
             jnp.asarray(cf.astype(np.int32)),
             jnp.asarray(plan.bases),
             jnp.asarray(plan.s0_rel),
+            jnp.asarray(plan.ngroups),
             symlo,
             symhi,
             dec,
@@ -732,6 +736,7 @@ def decode_blocks_pallas(
             n_segs_b=n_segs,
             max_count=max_count,
             statics=plan.statics,
+            chunked=chunked and plan.statics.w_f > 0,
             interpret=interpret,
         )
         pieces.append(out.reshape(hi - lo, out_size))

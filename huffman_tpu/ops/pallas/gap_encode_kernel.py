@@ -227,29 +227,31 @@ def _row_meta_kernel(starts_ref, s_ref, cnt_ref, first_ref, *, n_slots,
 
 
 # ----------------------------------------------------------------------
-# Kernel C: bit-granular banded ragged placement
+# Kernel C: bit-granular chunk-shared ragged placement
 # ----------------------------------------------------------------------
-def _place_bits_kernel(base_ref, s0_ref, band8_ref, rows_hbm, out_ref, win,
-                       sem, *, s_cap, tpc, chunk_bits):
+def _place_bits_kernel(base_ref, ng_ref, rows_hbm, out_ref, win, sem, *,
+                       s_cap, n_frames, w_f, chunk_bits):
+    """Chunk-shared bit placement (the encode mirror of
+    `compact_kernel._chunk_kernel`): each 8-row group of the chunk's window
+    is bit-masked, bit-rotated, lane-rolled ONCE and scattered into a
+    w_f-frame window of the chunk's output block at a dynamic frame offset.
+    Work per chunk = O(window rows); no per-tile band plan exists at all
+    (the banded per-tile form paid two n_tiles-query device searchsorteds
+    ~10 ms/64 MB in the plan alone)."""
     c = pl.program_id(0)
-    i = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        rows_hbm.at[pl.ds(base_ref[c], s_cap)], win, sem
+    )
+    dma.start()
+    dma.wait()
 
-    @pl.when(i == 0)
-    def _load():
-        dma = pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(base_ref[c], s_cap)], win, sem
-        )
-        dma.start()
-        dma.wait()
-
-    k0 = c * chunk_bits + i * TILE_BITS
-    s0 = s0_ref[c * tpc + i]
-    nb8 = band8_ref[c * tpc + i]
+    out_ref[:] = jnp.zeros((n_frames, LANES), jnp.int32)
+    k0 = c * chunk_bits
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
     u32 = jnp.uint32
 
-    def group(g, acc):
-        rw = win[pl.ds(s0 + g * SUBLANES, SUBLANES)]  # (8, 128)
+    def group(g, _):
+        rw = win[pl.ds(g * SUBLANES, SUBLANES)]  # (8, 128)
         off8 = jax.lax.slice_in_dim(rw, LANES - 2, LANES - 1, axis=1)
         cnt8 = jax.lax.slice_in_dim(rw, LANES - 1, LANES, axis=1)
         row = jnp.where(iota_l < LANES - 2, rw, 0)
@@ -287,41 +289,47 @@ def _place_bits_kernel(base_ref, s0_ref, band8_ref, rows_hbm, out_ref, win,
         )
         lo = jnp.where(iota_l >= qm, rolled, 0)
         hi = rolled - lo
-        frame_rows = []
-        for rr in range(SUBLANES):
-            sel = jnp.where(f == rr, lo, 0) + jnp.where(f == rr - 1, hi, 0)
-            frame_rows.append(jnp.sum(sel, axis=0, keepdims=True))
-        return acc + jnp.concatenate(frame_rows, axis=0)
 
-    acc = jax.lax.fori_loop(
-        0, nb8, group, jnp.zeros((SUBLANES, LANES), jnp.int32), unroll=False
-    )
-    out_ref[0] = acc
+        # dynamic frame window: rows are ordered, so the group spans
+        # [min(f), min(f) + w_f); frames outside [0, n_frames) belong to
+        # neighbor chunks, which see these rows in their own windows
+        f0 = jnp.clip(jnp.min(f), 0, n_frames - w_f)
+        frames = []
+        for wf in range(w_f):
+            af = f0 + wf
+            sel = jnp.where(f == af, lo, 0) + jnp.where(f == af - 1, hi, 0)
+            frames.append(jnp.sum(sel, axis=0, keepdims=True))
+        contrib = jnp.concatenate(frames, axis=0)
+        blk = out_ref[pl.ds(f0, w_f)]
+        out_ref[pl.ds(f0, w_f)] = blk | contrib
+        return 0
+
+    jax.lax.fori_loop(0, ng_ref[c], group, 0, unroll=False)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("s_cap", "chunk_bits", "n_tiles", "interpret"),
+    static_argnames=("s_cap", "chunk_bits", "n_chunks", "w_f", "interpret"),
 )
-def _place_bits(rows, bases, s0, band8, *, s_cap, chunk_bits, n_tiles,
+def _place_bits(rows, bases, ngroups, *, s_cap, chunk_bits, n_chunks, w_f,
                 interpret=False):
-    """One dispatch over a (chunk, tile) grid; chunk c covers output bits
+    """One dispatch over chunks; chunk c covers output bits
     [c*chunk_bits, (c+1)*chunk_bits) and DMAs rows [bases[c], +s_cap) into
-    VMEM.  Returns (n_tiles, 8, 128) int32 MSB-first output words."""
-    assert chunk_bits % TILE_BITS == 0
-    tpc = chunk_bits // TILE_BITS
-    n_chunks = bases.shape[0]
-    assert s0.shape[0] == n_chunks * tpc and band8.shape[0] == n_chunks * tpc
+    VMEM.  Returns (n_chunks * chunk_bits//4096, 128) int32 MSB-first
+    output words."""
+    assert chunk_bits % (LANES * 32) == 0
+    n_frames = chunk_bits // (LANES * 32)
+    assert w_f <= n_frames
     kern = functools.partial(
-        _place_bits_kernel, s_cap=s_cap, tpc=tpc, chunk_bits=chunk_bits
+        _place_bits_kernel, s_cap=s_cap, n_frames=n_frames, w_f=w_f,
+        chunk_bits=chunk_bits,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_chunks, tpc),
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, SUBLANES, LANES),
-            lambda c, i, b, s, n: (c * tpc + i, 0, 0),
+            (n_frames, LANES), lambda c, b, n: (c, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -333,10 +341,10 @@ def _place_bits(rows, bases, s0, band8, *, s_cap, chunk_bits, n_tiles,
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_chunks * tpc, SUBLANES, LANES), jnp.int32
+            (n_chunks * n_frames, LANES), jnp.int32
         ),
         interpret=interpret,
-    )(bases, s0, band8, rows)
+    )(bases, ngroups, rows)
 
 
 # ----------------------------------------------------------------------
@@ -529,56 +537,54 @@ def encode_blocks_pallas(
         0,
     )
 
-    # ---- placement rows + plan -----------------------------------------
+    # ---- placement rows + per-chunk plan -------------------------------
     from .compact_kernel import rows_assemble_pallas
 
     chunk_bits, s_cap = _geometry(min_len, max_len, g * w_pad * 32)
-    s_rows = _round_up(n_rows_p, SUBLANES) + s_cap
-    s_rows = _round_up(s_rows, LANES)
+    s_rows = _round_up(_round_up(n_rows_p, SUBLANES) + s_cap, LANES)
+    # pad rows (trailing zero-filled lanes AND the assembly's zero fill
+    # beyond n_rows_p) must carry a LARGE offset sentinel: the chunk-shared
+    # kernel anchors each group's frame window at min(f) over its rows, and
+    # a stale-0 offset would drag a tail group's window to frame 0
+    big30 = jnp.int32(1 << 30)
+    ext = s_rows - n_rows_p
+    s_abs_asm = jnp.concatenate(
+        [jnp.where(real, s_abs, big30), jnp.full(ext, big30, jnp.int32)]
+    )
     rows = rows_assemble_pallas(
-        pay.reshape(cap_words, n_rows_p),
-        s_abs,
-        bits_r,
+        jnp.pad(pay.reshape(cap_words, n_rows_p), ((0, 0), (0, ext))),
+        s_abs_asm,
+        jnp.concatenate([bits_r, jnp.zeros(ext, jnp.int32)]),
         s_rows=s_rows,
         interpret=interpret,
     )
 
     out_bits = g * w_pad * 32
-    n_tiles = out_bits // TILE_BITS
-    tpc = chunk_bits // TILE_BITS
     n_chunks = _cdiv(out_bits, chunk_bits)
     # pad rows mask to `big` at the END of both search arrays, preserving
     # sortedness (per-block offsets are monotone; block bases increase)
     ends_abs = jnp.where(real, s_abs + bits_r, big)
     s_abs_srch = jnp.where(real, s_abs, big)
-    tile_lo = jnp.arange(n_tiles, dtype=jnp.int32) * TILE_BITS
-    s_first = jnp.searchsorted(ends_abs, tile_lo, side="right").astype(
-        jnp.int32
-    )
-    s_last = jnp.searchsorted(
-        s_abs_srch, tile_lo + TILE_BITS, side="left"
-    ).astype(jnp.int32)
     chunk_lo = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_bits
     sc0 = jnp.searchsorted(ends_abs, chunk_lo, side="right").astype(jnp.int32)
+    sc1 = jnp.searchsorted(
+        s_abs_srch,
+        jnp.minimum(chunk_lo + chunk_bits, out_bits),
+        side="left",
+    ).astype(jnp.int32)
     bases = jnp.minimum(sc0, s_rows - s_cap)
-    tile_chunk = jnp.minimum(
-        jnp.arange(n_tiles, dtype=jnp.int32) // tpc, n_chunks - 1
+    ngroups = jnp.clip(
+        -(-(sc1 - bases) // SUBLANES), 0, s_cap // SUBLANES
     )
-    s0 = jnp.clip(s_first - bases[tile_chunk], 0, s_cap - SUBLANES)
-    rel_last = s_last - bases[tile_chunk]
-    band8 = jnp.clip(
-        -(-(rel_last - s0) // SUBLANES), 0, (s_cap - s0) // SUBLANES
-    )
-    pad_t = n_chunks * tpc - n_tiles
-    if pad_t:
-        s0 = jnp.concatenate([s0, jnp.zeros(pad_t, jnp.int32)])
-        band8 = jnp.concatenate([band8, jnp.zeros(pad_t, jnp.int32)])
+    w_f = (SUBLANES * cap_words * 32) // (LANES * 32) + 2
+    assert w_f * LANES * 32 <= chunk_bits
 
-    out_t = _place_bits(
-        rows, bases, s0, band8, s_cap=s_cap, chunk_bits=chunk_bits,
-        n_tiles=n_chunks * tpc, interpret=interpret,
+    frames = _place_bits(
+        rows, bases, ngroups, s_cap=s_cap, chunk_bits=chunk_bits,
+        n_chunks=n_chunks, w_f=w_f, interpret=interpret,
     )
+    n_words_out = out_bits // 32
     words = jax.lax.bitcast_convert_type(
-        out_t[:n_tiles].reshape(g, w_pad), jnp.uint32
+        frames.reshape(-1)[:n_words_out].reshape(g, w_pad), jnp.uint32
     )[:, : max_words + 1]
     return words, total_bits, gaps, counts

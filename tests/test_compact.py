@@ -32,14 +32,18 @@ def _pack_case(n_segs, max_count, seed, zero_frac=0.1, min_count=0):
     return packed.view(np.int32), counts, symtab, symtab[ranks]
 
 
+@pytest.mark.parametrize("chunked", [False, True])
 @pytest.mark.parametrize(
     "n_segs,max_count,seed",
     [(7, 16, 4), (40, 100, 1), (200, 256, 2), (640, MAX_ROW_BYTES, 3)],
 )
-def test_compact_matches_numpy_concat(n_segs, max_count, seed):
+def test_compact_matches_numpy_concat(n_segs, max_count, seed, chunked):
+    # both placement kernels (banded per-tile and chunk-shared) must agree
+    # with the NumPy ragged-concat oracle
     packed, counts, symtab, expect = _pack_case(n_segs, max_count, seed)
     out = compact_ranks_device(
-        jnp.asarray(packed), counts, symtab, expect.size, interpret=True
+        jnp.asarray(packed), counts, symtab, expect.size, chunked=chunked,
+        interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(out), expect)
 
@@ -120,11 +124,12 @@ def test_device_plan_matches_host_plan():
     band, s_cap, chunk = pick_chunk(scal)
     s = host.statics
     assert (band, s_cap, chunk) == (s.band, s.s_cap, s.chunk_bytes)
-    bases, s0_rel = compact_plan_arrays(
+    bases, s0_rel, ngroups = compact_plan_arrays(
         jnp.asarray(counts.astype(np.int32)), statics=s
     )
     np.testing.assert_array_equal(np.asarray(bases), host.bases)
     np.testing.assert_array_equal(np.asarray(s0_rel), host.s0_rel)
+    np.testing.assert_array_equal(np.asarray(ngroups), host.ngroups)
 
 
 def test_compact_rejects_oversized_rows():

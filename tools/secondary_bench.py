@@ -105,6 +105,7 @@ def _gap_fused_setup(args, codec, data):
         jnp.asarray(counts),
         jnp.asarray(plan.bases),
         jnp.asarray(plan.s0_rel),
+        jnp.asarray(plan.ngroups),
     )
     return arrs, (symlo, symhi), kw
 
@@ -136,56 +137,73 @@ def bench_gap_pallas(args, interpret):
         return {"metric": "htc1_pallas_decode_gbps", "value": 0.0,
                 "unit": "GB/s", "skipped": "counts exceed kernel row budget"}
     arrs, (symlo, symhi), kw = setup
+    can_chunk = kw["statics"].w_f > 0
 
-    out = _fused_blocks(*arrs, symlo, symhi, codec.dec,
-                        interpret=interpret, **kw)
-    ok = bool(jnp.array_equal(out, jnp.asarray(data)))
-    log(f"gap-pallas verify: {'PASS' if ok else 'FAIL'}")
+    ok = {}
+    for chunked in (False, True) if can_chunk else (False,):
+        out = _fused_blocks(*arrs, symlo, symhi, codec.dec,
+                            chunked=chunked, interpret=interpret, **kw)
+        ok[chunked] = bool(jnp.array_equal(out, jnp.asarray(data)))
+        log(f"gap-pallas verify (chunked={chunked}): "
+            f"{'PASS' if ok[chunked] else 'FAIL'}")
 
-    def mk(R):
-        @jax.jit
-        def f(w2, gaps, counts, bases, s0):
-            def body(i, carry):
-                acc, w = carry
-                # loop-carried bit flip defeats invariant hoisting; the
-                # decoded garbage feeds only the checksum
-                w = w.at[0, 0].set(w[0, 0] ^ jnp.uint32(1))
-                o = _fused_blocks(
-                    w, gaps, counts, bases, s0, symlo, symhi, codec.dec,
-                    interpret=interpret, **kw,
-                )
-                return acc ^ o[:8].astype(jnp.int32), w
-            acc, _ = jax.lax.fori_loop(
-                0, R, body, (jnp.zeros(8, jnp.int32), w2))
-            return acc
-        return f
+    def mk_maker(chunked):
+        def mk(R):
+            @jax.jit
+            def f(w2, gaps, counts, bases, s0, ng):
+                def body(i, carry):
+                    acc, w = carry
+                    # loop-carried bit flip defeats invariant hoisting; the
+                    # decoded garbage feeds only the checksum
+                    w = w.at[0, 0].set(w[0, 0] ^ jnp.uint32(1))
+                    o = _fused_blocks(
+                        w, gaps, counts, bases, s0, ng, symlo, symhi,
+                        codec.dec, chunked=chunked, interpret=interpret,
+                        **kw,
+                    )
+                    return acc ^ o[:8].astype(jnp.int32), w
+                acc, _ = jax.lax.fori_loop(
+                    0, R, body, (jnp.zeros(8, jnp.int32), w2))
+                return acc
+            return f
+        return mk
+
+    from bench import measure_chained_multi
 
     reps = args.reps
-    dt = measure_chained(mk, max(reps // 4, 1), reps, *arrs,
-                         trials=args.trials)
-    gbps = size / dt / 1e9
-    log(f"gap-pallas decode: {gbps:.3f} GB/s ({dt * 1e3:.1f} ms / {size} B)")
-    return {"metric": "htc1_pallas_decode_gbps", "value": round(gbps, 4),
-            "unit": "GB/s", "verified": ok, "seg_bits": SEG_BITS,
-            "block_bytes": size}
+    makers = {"banded": mk_maker(False)}
+    if can_chunk:
+        makers["chunked"] = mk_maker(True)
+    ts = measure_chained_multi(
+        makers, max(reps // 4, 1), reps, *arrs, trials=args.trials
+    )
+    res = {}
+    for name, dt in ts.items():
+        gbps = size / dt / 1e9
+        res[name] = round(gbps, 4)
+        log(f"gap-pallas decode [{name}]: {gbps:.3f} GB/s "
+            f"({dt * 1e3:.1f} ms / {size} B)")
+    best = max(res.values())
+    return {"metric": "htc1_pallas_decode_gbps", "value": best,
+            "unit": "GB/s", "verified": all(ok.values()),
+            "seg_bits": SEG_BITS, "block_bytes": size, "ab": res}
 
 
 def bench_htc1_encode(args, interpret):
-    """HTC1 device encode (VERDICT r3 item 7): one vmapped dispatch —
-    lengths gather + cumsum offsets + segment-sum bit pack + searchsorted
-    gap/count metadata — chained in-jit.  Role of the reference's
-    `cuencoder` (`encoder/src/encoder.cu:142-355`)."""
+    """HTC1 device encode through the full-Pallas bit-placement pipeline
+    (`gap_encode_kernel.encode_blocks_pallas` — VERDICT r5 item 1), chained
+    in-jit.  Role of the reference's `cuencoder`
+    (`encoder/src/encoder.cu:142-355`).  The r4 XLA segment-sum form
+    (`encode_block_fast`, 0.063 GB/s) remains as the fallback path."""
     import jax
     import jax.numpy as jnp
 
     from huffman_tpu.constants import SEG_BITS
     from huffman_tpu.models import GapArrayCodec
-    from huffman_tpu.ops.encode import encode_block
+    from huffman_tpu.ops.pallas.gap_encode_kernel import encode_blocks_pallas
     from huffman_tpu.utils import generate_redundant
 
     from bench import measure_chained
-
-    from huffman_tpu.ops.encode import encode_block_fast
 
     size = args.size
     data = generate_redundant(size, args.redundancy, seed=4)
@@ -194,9 +212,14 @@ def bench_htc1_encode(args, interpret):
     max_bits = int(lens[data].sum())
     max_words = -(-(-(-max_bits // 32)) // 512) * 512
     n_segs = -(-max_words * 32 // codec.seg_bits)
-    kw = dict(seg_bits=codec.seg_bits, max_words=max_words, n_segs=n_segs)
+    kw = dict(
+        seg_bits=codec.seg_bits, max_words=max_words, n_segs=n_segs,
+        min_len=max(int(codec.table.min_len), 1),
+        max_len=int(codec.table.max_len_present),
+        interpret=interpret,
+    )
 
-    data_j = jnp.asarray(data)
+    data_j = jnp.asarray(data)[None]
 
     # correctness: the packed words must match the NumPy oracle bit-for-bit
     # (compare ON device; D2H is MB/s through the tunnel).  The checksum
@@ -204,14 +227,14 @@ def bench_htc1_encode(args, interpret):
     # eliminated (transparent XLA stages prune to what is read).
     from huffman_tpu.core import npref
 
-    words, total_bits, gaps, counts = encode_block_fast(
+    words, total_bits, gaps, counts = encode_blocks_pallas(
         data_j, codec.enc_tabs, **kw
     )
     exp_words, exp_bits = npref.encode_bits(data, codec.table)
-    nw = min(exp_words.size, words.shape[0])
+    nw = min(exp_words.size, words.shape[1])
     ok = bool(
-        jnp.array_equal(words[:nw], jnp.asarray(exp_words[:nw]))
-    ) and int(total_bits) == exp_bits
+        jnp.array_equal(words[0, :nw], jnp.asarray(exp_words[:nw]))
+    ) and int(total_bits[0]) == exp_bits
     log(f"htc1 encode verify: {'PASS' if ok else 'FAIL'}")
 
     def mk(R):
@@ -219,10 +242,10 @@ def bench_htc1_encode(args, interpret):
         def f(d):
             def body(i, carry):
                 acc, dd = carry
-                dd = dd.at[0].set(dd[0] ^ jnp.uint8(1))
-                w, tb, g, c = encode_block_fast(dd, codec.enc_tabs, **kw)
+                dd = dd.at[0, 0].set(dd[0, 0] ^ jnp.uint8(1))
+                w, tb, g, c = encode_blocks_pallas(dd, codec.enc_tabs, **kw)
                 return (
-                    acc ^ w[:8].astype(jnp.int32) ^ tb
+                    acc ^ w[0, :8].astype(jnp.int32) ^ tb[0]
                     ^ jnp.sum(g) ^ jnp.sum(c),
                     dd,
                 )
@@ -238,7 +261,7 @@ def bench_htc1_encode(args, interpret):
     log(f"htc1 device encode: {gbps:.3f} GB/s ({dt * 1e3:.1f} ms / {size} B)")
     return {"metric": "htc1_encode_gbps", "value": round(gbps, 4),
             "unit": "GB/s", "verified": ok, "seg_bits": SEG_BITS,
-            "block_bytes": size}
+            "block_bytes": size, "path": "pallas bit-placement pipeline"}
 
 
 def bench_selfsync(args, interpret):
