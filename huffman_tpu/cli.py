@@ -138,6 +138,31 @@ def cmd_generate(args):
 
 
 def cmd_encode(args):
+    if getattr(args, "stream", False):
+        if args.format != "ils":
+            print("error: --stream requires --format ils", file=sys.stderr)
+            sys.exit(1)
+        import os
+
+        from .models import IlsCodec
+
+        t0 = time.perf_counter()
+        codec = IlsCodec.fit_file(
+            args.input, max_len=args.max_len, k=args.k,
+            optimize=args.optimize,
+            rotate={"auto": "auto", "on": True, "off": False}[args.rotate],
+        )
+        csize = codec.encode_file(
+            args.input, args.output, section_bytes=args.section_bytes
+        )
+        dt = time.perf_counter() - t0
+        n = os.path.getsize(args.input)
+        print(f"Original size:   {n} bytes")
+        print(f"Compressed size: {csize} bytes")
+        print(f"Ratio:           {100.0 * csize / max(n, 1):.2f}%")
+        print(f"Encode time:     {dt * 1e3:.1f} ms "
+              f"({n / dt / 1e9:.3f} GB/s inc. fit+IO, section-streamed)")
+        return
     data = np.fromfile(args.input, np.uint8)
     t0 = time.perf_counter()
     codec = _make_codec(args, data)
@@ -155,6 +180,15 @@ def cmd_encode(args):
 def cmd_decode(args):
     from .io import container_kind, read_container, read_ils_container
 
+    if getattr(args, "stream", False):
+        from .models import IlsCodec
+
+        t0 = time.perf_counter()
+        n = IlsCodec.decode_file(args.input, args.output)
+        dt = time.perf_counter() - t0
+        print(f"Decompressed {n} bytes in {dt * 1e3:.1f} ms "
+              f"({n / dt / 1e9:.3f} GB/s inc. IO, section-streamed)")
+        return
     blob = open(args.input, "rb").read()
     fmt = getattr(args, "format", "ils")
     if fmt in ("yamamoto", "seq"):
@@ -269,12 +303,22 @@ def main(argv=None):
     p = sub.add_parser("encode", help="compress a file to an HTC1 container")
     p.add_argument("input")
     p.add_argument("-o", "--output", required=True)
+    p.add_argument(
+        "--stream", action="store_true",
+        help="section-streamed encode with bounded host memory "
+             "(ILS format; use --section-bytes to size sections)",
+    )
+    p.add_argument("--section-bytes", type=int, default=None)
     _add_codec_args(p)
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("decode", help="decompress a container (auto-detects ILS1/HTC1)")
     p.add_argument("input")
     p.add_argument("-o", "--output", required=True)
+    p.add_argument(
+        "--stream", action="store_true",
+        help="section-streamed decode with bounded host memory (ILS1)",
+    )
     p.add_argument(
         "--method",
         choices=["auto", "lut", "canonical", "twolevel", "pallas"],

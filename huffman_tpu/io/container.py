@@ -260,6 +260,165 @@ def write_ils_container(comp) -> bytes:
     return b"".join(parts)
 
 
+class IlsStreamWriter:
+    """Incrementally write an ILS1 container, one section at a time.
+
+    The bounded-host-memory encode path (VERDICT r5 item 5): a stream
+    larger than one jit's working set encodes section by section — each
+    section's metadata + payload is appended to the (seekable) file as soon
+    as the device produces it, and the header (section count, version, CRC)
+    is patched on `close()`.  Byte-identical to `write_ils_container` of
+    the same sections (pinned by tests)."""
+
+    def __init__(self, fileobj, table, original_size: int):
+        import zlib
+
+        self.f = fileobj
+        self.table = table
+        self.original_size = int(original_size)
+        self.n_sections = 0
+        self.any_rot = False
+        self.crc = zlib.crc32(str(self.original_size).encode())
+        self._hdr_pos = self.f.tell()
+        self.f.write(b"\0" * _ILS_HEADER.size)
+        self.f.write(_table_entries(table).tobytes())
+
+    def write_section(self, sec) -> None:
+        import zlib
+
+        from ..core.ils_ref import ILS_ROT_LANE, ILS_ROT_SUB
+
+        p = sec.params
+        rot_flags = 1 | (ILS_ROT_SUB << 8) | (ILS_ROT_LANE << 12)
+        self.f.write(
+            _ILS_SECTION.pack(
+                p.k, p.snum, rot_flags if p.rot else 0, p.w_band, p.w_cap,
+                p.n_tiles,
+            )
+        )
+        self.f.write(p.w_tiles.astype(np.uint32).tobytes())
+        self.f.write(p.boffs.astype(np.int32).tobytes())
+        payload = np.ascontiguousarray(sec.payload, np.uint32)
+        self.crc = zlib.crc32(payload, self.crc)
+        self.f.write(payload.tobytes())
+        self.any_rot = self.any_rot or bool(p.rot)
+        self.n_sections += 1
+
+    def close(self) -> None:
+        end = self.f.tell()
+        self.f.seek(self._hdr_pos)
+        self.f.write(
+            _ILS_HEADER.pack(
+                ILS_MAGIC,
+                4 if self.any_rot else 3,
+                self.table.max_len,
+                self.table.num_symbols,
+                self.original_size,
+                self.n_sections,
+                self.crc & 0xFFFFFFFF,
+            )
+        )
+        self.f.seek(end)
+
+
+class IlsStreamReader:
+    """Incrementally read an ILS1 container, one section at a time.
+
+    `read_section()` returns the next `IlsSection` (None past the last);
+    the payload CRC accumulates as sections stream and `close()` raises on
+    mismatch — callers that stream decoded output to disk should surface
+    that error AFTER their last write, mirroring `read_ils_container`'s
+    whole-buffer check."""
+
+    def __init__(self, fileobj):
+        import zlib
+
+        self.f = fileobj
+        hdr = self.f.read(_ILS_HEADER.size)
+        if len(hdr) < _ILS_HEADER.size or hdr[:4] != ILS_MAGIC:
+            raise ValueError("not an ILS1 container (bad magic)")
+        (_, self.version, max_len, n_sym, self.original_size,
+         self.n_sections, self._crc_stored) = _ILS_HEADER.unpack(hdr)
+        if self.version not in (3, 4):
+            raise ValueError(
+                f"unsupported ILS container version {self.version}"
+            )
+        ebuf = self.f.read(2 * n_sym)
+        if len(ebuf) < 2 * n_sym:
+            raise ValueError("truncated ILS1 container")
+        entries = np.frombuffer(ebuf, np.uint8).reshape(n_sym, 2)
+        lengths = np.zeros(256, np.uint8)
+        lengths[entries[:, 0]] = entries[:, 1]
+        self.table = canonical_code_table(lengths, max_len)
+        self._read = 0
+        self.crc = zlib.crc32(str(int(self.original_size)).encode())
+
+    def read_section(self):
+        import zlib
+
+        from ..core.ils_ref import (
+            ILS_LANES,
+            ILS_ROT_LANE,
+            ILS_ROT_SUB,
+            IlsParams,
+            ils_n_win,
+        )
+        from ..ops.ils import IlsSection
+
+        if self._read >= self.n_sections:
+            return None
+        shdr = self.f.read(_ILS_SECTION.size)
+        if len(shdr) < _ILS_SECTION.size:
+            raise ValueError("truncated ILS1 container")
+        k, snum, flags, w_band, w_cap, n_tiles = _ILS_SECTION.unpack(shdr)
+        rot_flags = 1 | (ILS_ROT_SUB << 8) | (ILS_ROT_LANE << 12)
+        if self.version == 3 and flags:
+            raise ValueError(f"unknown ILS section flags {flags:#x}")
+        if self.version >= 4 and flags not in (0, rot_flags):
+            raise ValueError(
+                f"unsupported ILS section flags {flags:#x} (this reader "
+                f"implements rotation constants sub={ILS_ROT_SUB}, "
+                f"lane={ILS_ROT_LANE})"
+            )
+        n_win = ils_n_win(int(k))
+        meta = self.f.read(4 * n_tiles * (1 + n_win))
+        if len(meta) < 4 * n_tiles * (1 + n_win):
+            raise ValueError("truncated ILS1 container")
+        w_tiles = np.frombuffer(meta, np.uint32, n_tiles).astype(np.int32)
+        boffs = (
+            np.frombuffer(meta, np.int32, n_tiles * n_win, 4 * n_tiles)
+            .reshape(n_tiles, n_win)
+            .copy()
+        )
+        total_rows = int(w_tiles.sum())
+        praw = self.f.read(4 * total_rows * ILS_LANES)
+        if len(praw) < 4 * total_rows * ILS_LANES:
+            raise ValueError("truncated ILS1 container")
+        payload = (
+            np.frombuffer(praw, np.uint32)
+            .reshape(total_rows, ILS_LANES)
+            .copy()
+        )
+        self.crc = zlib.crc32(payload, self.crc)
+        self._read += 1
+        return IlsSection(
+            params=IlsParams(
+                k=int(k), snum=int(snum), boffs=boffs, w_band=int(w_band),
+                w_cap=int(w_cap), w_tiles=w_tiles, n_tiles=int(n_tiles),
+                rot=bool(flags & 1),
+            ),
+            payload=payload,
+        )
+
+    def close(self) -> None:
+        if self._read != self.n_sections:
+            raise ValueError("close() before all sections were read")
+        if self.f.read(1):
+            raise ValueError("container has trailing bytes")
+        if (self.crc & 0xFFFFFFFF) != self._crc_stored:
+            raise ValueError("ILS1 container payload checksum mismatch")
+
+
 def read_ils_container(buf: bytes):
     from ..core.ils_ref import (
         ILS_LANES,

@@ -191,6 +191,136 @@ class IlsCodec:
         return np.concatenate(outs)[:n]
 
     # ------------------------------------------------------------------
+    # Section-streamed file paths (VERDICT r5 item 5): encode/decode a file
+    # larger than one jit's working set with bounded host memory — at most
+    # one section's bytes are resident at a time, and container sections
+    # append/stream through `io.container.IlsStreamWriter/Reader`.
+    # ------------------------------------------------------------------
+    @classmethod
+    def fit_file(
+        cls,
+        path: str,
+        *,
+        max_len: int = MAX_CODEWORD_LENGTH,
+        chunk_bytes: int = 1 << 28,
+        **kw,
+    ) -> "IlsCodec":
+        """`fit` from a file's streamed histogram (never loads the file)."""
+        freqs = np.zeros(256, np.int64)
+        n = 0
+        with open(path, "rb") as f:
+            while True:
+                chunk = np.fromfile(f, np.uint8, chunk_bytes)
+                if chunk.size == 0:
+                    break
+                freqs += np.bincount(chunk, minlength=256)
+                n += chunk.size
+        freqs[0] += 1  # the tail section's zero padding (as in `fit`)
+        table = canonical_code_table(
+            package_merge_lengths(freqs, max_len), max_len
+        )
+        avg = float(
+            (freqs * table.lengths.astype(np.int64)).sum() / max(n, 1)
+        )
+        if kw.get("k") is None:
+            kw = dict(kw, k=pick_k(avg, kw.get("optimize", "speed")))
+        kw.pop("optimize", None)
+        codec = cls(table, **kw)
+        codec.fit_avg_bits = avg
+        return codec
+
+    def encode_file(
+        self,
+        in_path: str,
+        out_path: str,
+        *,
+        section_bytes: int | None = None,
+    ) -> int:
+        """Streamed encode: read section-size chunks, pack each on device,
+        append to the container.  Returns the container byte size."""
+        import os
+
+        from ..io.container import IlsStreamWriter
+        from ..ops import ils as ils_ops
+
+        section_bytes = section_bytes or self.SECTION_BYTES
+        n = os.path.getsize(in_path)
+        k = self.k
+        with open(in_path, "rb") as fin, open(out_path, "w+b") as fout:
+            writer = IlsStreamWriter(fout, self.table, n)
+            pos = 0
+            while pos < n:
+                tile_bytes = k * ILS_LANES
+                take = min(
+                    max(section_bytes // tile_bytes, 1) * tile_bytes, n - pos
+                )
+                chunk = np.fromfile(fin, np.uint8, take)
+                assert chunk.size == take
+                if take % tile_bytes:
+                    k_sec = max(-(-take // (4 * ILS_LANES)) * 4, 8)
+                    padded = np.zeros(k_sec * ILS_LANES, np.uint8)
+                    padded[:take] = chunk
+                    chunk = padded
+                else:
+                    k_sec = k
+                while True:
+                    try:
+                        sec = ils_encode_device(
+                            chunk,
+                            self.table,
+                            self.enc,
+                            k=k_sec,
+                            avg_bits=self._avg_bits(chunk),
+                            rot=self.rotate,
+                            interpret=self.interpret,
+                        )
+                        break
+                    except IlsVmemError:
+                        if k_sec <= ils_ops.MIN_K:
+                            raise
+                        k_sec //= 2  # take is still a multiple of k_sec*1024
+                writer.write_section(sec)
+                pos += take
+            writer.close()
+            return fout.tell()
+
+    @classmethod
+    def decode_file(
+        cls, in_path: str, out_path: str, *, interpret: bool | None = None
+    ) -> int:
+        """Streamed decode of an ILS1 container to a file; returns the
+        decoded byte count.  The payload CRC accumulates across sections
+        and any mismatch raises AFTER the last write (streaming cannot
+        front-run verification; callers needing all-or-nothing semantics
+        should write to a temp path)."""
+        from ..io.container import IlsStreamReader
+
+        with open(in_path, "rb") as fin, open(out_path, "wb") as fout:
+            reader = IlsStreamReader(fin)
+            codec = cls(reader.table, interpret=interpret)
+            remaining = int(reader.original_size)
+            while True:
+                sec = reader.read_section()
+                if sec is None:
+                    break
+                out = np.asarray(
+                    ils_decode_device(
+                        sec, reader.table, codec.dec,
+                        interpret=codec.interpret,
+                    )
+                )
+                take = min(out.size, remaining)
+                fout.write(out[:take].tobytes())
+                remaining -= take
+            reader.close()
+            if remaining:
+                raise ValueError(
+                    f"container sections cover {remaining} bytes short of "
+                    "original_size"
+                )
+            return int(reader.original_size)
+
+    # ------------------------------------------------------------------
     def roundtrip_check(self, data: np.ndarray) -> bool:
         """Self-verifying round-trip (the reference's universal test pattern,
         `sequential.cpp:266-277`, `CUHDUtil::equals`)."""

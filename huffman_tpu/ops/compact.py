@@ -139,7 +139,9 @@ def plan_compact(counts: np.ndarray, out_size: int) -> CompactPlan:
             offs, np.minimum((np.arange(n_chunks) + 1) * chunk_bytes,
                              out_size), side="left"
         ).astype(np.int64)
-        s_cap = _round_up(int(np.max(sc1 - sc0)) + band, 8)
+        # +8: window bases are aligned DOWN to 8 rows (the chunk-shared
+        # kernel addresses whole groups), widening the window by < 8 rows
+        s_cap = _round_up(int(np.max(sc1 - sc0)) + band, 8) + 8
         if s_cap <= _S_CAP_MAX or chunk_bytes <= TILE_BYTES:
             break
         chunk_bytes >>= 1
@@ -152,7 +154,7 @@ def plan_compact(counts: np.ndarray, out_size: int) -> CompactPlan:
 
     tpc = chunk_bytes // TILE_BYTES
     n_tiles = _cdiv(out_size, TILE_BYTES)
-    bases = np.minimum(sc0, s_pad - s_cap).astype(np.int32)
+    bases = (np.minimum(sc0, s_pad - s_cap) & ~7).astype(np.int32)
     s0_rel = np.zeros(n_chunks * tpc, np.int32)
     tile_chunk = np.minimum(np.arange(n_tiles) // tpc, n_chunks - 1)
     s0_rel[:n_tiles] = np.clip(
@@ -199,7 +201,7 @@ def compact_plan_arrays(counts_dev: jnp.ndarray, *, statics: CompactStatics):
     s_first = jnp.searchsorted(ends, tile_lo, side="right").astype(jnp.int32)
     chunk_lo = jnp.arange(n_chunks, dtype=jnp.int32) * s.chunk_bytes
     sc0 = jnp.searchsorted(ends, chunk_lo, side="right").astype(jnp.int32)
-    bases = jnp.minimum(sc0, s.s_pad - s.s_cap)
+    bases = jnp.minimum(sc0, s.s_pad - s.s_cap) & ~7
     tile_chunk = jnp.minimum(
         jnp.arange(s.n_tiles, dtype=jnp.int32) // tpc, n_chunks - 1
     )
@@ -265,7 +267,7 @@ def pick_chunk(scalars: np.ndarray):
     band = max(_round_up(band_raw, SUBLANES), SUBLANES)
     chunk = CHUNK_OUT_BYTES
     for cap_raw in scalars[1:]:
-        s_cap = _round_up(int(cap_raw) + band, 8)
+        s_cap = _round_up(int(cap_raw) + band, 8) + 8  # 8-aligned bases
         if s_cap <= _S_CAP_MAX or chunk <= TILE_BYTES:
             break
         chunk >>= 1
@@ -350,10 +352,15 @@ def compact_apply(
 
     if use_chunked:
         n_chunks = _cdiv(plan.out_size, plan.chunk_bytes)
+        # absolute output frame (512 B) of each global 8-row group's first
+        # row — prefetched so the kernel's frame base never touches the
+        # serial RMW chain; sentinel offsets (pad rows) clip in-kernel
+        gf0 = off_pad[::SUBLANES] >> 9
         frames = ragged_concat_chunked_pallas(
             rows,
             bases,
             ngroups,
+            gf0,
             symlo,
             symhi,
             s_cap=plan.s_cap,

@@ -246,13 +246,20 @@ def ragged_concat_pallas(
     )(bases, s0, rows, symlo, symhi)
 
 
-def _chunk_kernel(base_ref, ng_ref, rows_hbm, symlo_ref, symhi_ref, out_ref,
-                  win, sem, *, s_cap, n_frames, w_f, chunk_bytes, row_lanes):
+def _chunk_kernel(base_ref, ng_ref, gf0_ref, rows_hbm, symlo_ref, symhi_ref,
+                  out_ref, win, sem, *, s_cap, n_frames, w_f, chunk_bytes,
+                  row_lanes):
     """Chunk-shared placement (VERDICT r5 item 2): each 8-row group of the
     chunk's segment window is masked/rotated/rolled ONCE and scattered into
     a W_F-frame window of the chunk's output block at a dynamic frame
     offset — where the banded `_kernel` re-reads every band row once per
-    4 KB tile.  Work per chunk = O(window rows), not O(tiles x band)."""
+    4 KB tile.  Work per chunk = O(window rows), not O(tiles x band).
+
+    The group's frame base comes from the PREFETCHED ``gf0`` array (the
+    absolute output frame of each global 8-row group, SMEM) — deriving it
+    in-kernel as min(f) put a cross-sublane reduction + vreg->sreg
+    extraction on the serial RMW chain (the PERF.md §5 "laggard anchor"
+    pathology; measured 4.6 vs 6.5 GB/s on the decode pipeline)."""
     c = pl.program_id(0)
     dma = pltpu.make_async_copy(
         rows_hbm.at[pl.ds(base_ref[c], s_cap)], win, sem
@@ -262,6 +269,8 @@ def _chunk_kernel(base_ref, ng_ref, rows_hbm, symlo_ref, symhi_ref, out_ref,
 
     out_ref[:] = jnp.zeros((n_frames, LANES), jnp.int32)
     k0 = c * chunk_bytes
+    g_base = base_ref[c] // SUBLANES  # bases are 8-aligned by the planner
+    f_base = c * n_frames
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
     u32 = jnp.uint32
 
@@ -305,10 +314,10 @@ def _chunk_kernel(base_ref, ng_ref, rows_hbm, symlo_ref, symhi_ref, out_ref,
         hi = rolled - lo
 
         # dynamic frame window: rows are ordered, so the group spans
-        # [min(f), min(f) + w_f); clamp to the block (frames outside
-        # [0, n_frames) belong to neighbor chunks, which see these rows in
-        # their own windows)
-        f0 = jnp.clip(jnp.min(f), 0, n_frames - w_f)
+        # [f0, f0 + w_f) with f0 prefetched; frames outside [0, n_frames)
+        # belong to neighbor chunks, which see these rows in their own
+        # windows
+        f0 = jnp.clip(gf0_ref[g_base + g] - f_base, 0, n_frames - w_f)
         frames = []
         for wf in range(w_f):
             af = f0 + wf
@@ -343,6 +352,7 @@ def ragged_concat_chunked_pallas(
     rows: jnp.ndarray,
     bases: jnp.ndarray,
     ngroups: jnp.ndarray,
+    gf0: jnp.ndarray,
     symlo: jnp.ndarray,
     symhi: jnp.ndarray,
     *,
@@ -352,11 +362,12 @@ def ragged_concat_chunked_pallas(
     w_f: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Chunk-shared form of `ragged_concat_pallas`: same rows/bases layout,
-    but per chunk the kernel walks its window's row groups once
-    (``ngroups[c]`` groups of 8 from ``bases[c]``) instead of re-scanning a
-    band per tile.  ``w_f`` >= ceil((8 * max_row_bytes + chunk alignment) /
-    512) + 1 frames bounds one group's output span.  Returns
+    """Chunk-shared form of `ragged_concat_pallas`: same rows layout, but
+    per chunk the kernel walks its window's row groups once (``ngroups[c]``
+    groups of 8 from the 8-ALIGNED ``bases[c]``) instead of re-scanning a
+    band per tile.  ``gf0[G]`` is the absolute output frame of global group
+    G's first row (prefetched scalar).  ``w_f`` >= (8 * max_row_bytes) //
+    512 + 2 frames bounds one group's output span.  Returns
     (n_chunks * chunk_bytes // 512, 128) int32 whose little-endian bitcast
     is the symbol stream."""
     assert chunk_bytes % (LANES * 4) == 0
@@ -368,17 +379,17 @@ def ragged_concat_chunked_pallas(
         chunk_bytes=chunk_bytes, row_lanes=row_lanes,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((SUBLANES, LANES), lambda c, b, n: (0, 0),
+            pl.BlockSpec((SUBLANES, LANES), lambda c, b, n, f: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda c, b, n: (0, 0),
+            pl.BlockSpec((SUBLANES, LANES), lambda c, b, n, f: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (n_frames, LANES), lambda c, b, n: (c, 0),
+            (n_frames, LANES), lambda c, b, n, f: (c, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -393,7 +404,7 @@ def ragged_concat_chunked_pallas(
             (n_chunks * n_frames, LANES), jnp.int32
         ),
         interpret=interpret,
-    )(bases, ngroups, rows, symlo, symhi)
+    )(bases, ngroups, gf0, rows, symlo, symhi)
 
 
 def _assemble_kernel(src_ref, out_ref, *, orows):

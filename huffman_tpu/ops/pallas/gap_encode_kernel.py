@@ -229,15 +229,16 @@ def _row_meta_kernel(starts_ref, s_ref, cnt_ref, first_ref, *, n_slots,
 # ----------------------------------------------------------------------
 # Kernel C: bit-granular chunk-shared ragged placement
 # ----------------------------------------------------------------------
-def _place_bits_kernel(base_ref, ng_ref, rows_hbm, out_ref, win, sem, *,
-                       s_cap, n_frames, w_f, chunk_bits):
+def _place_bits_kernel(base_ref, ng_ref, gf0_ref, rows_hbm, out_ref, win,
+                       sem, *, s_cap, n_frames, w_f, chunk_bits):
     """Chunk-shared bit placement (the encode mirror of
     `compact_kernel._chunk_kernel`): each 8-row group of the chunk's window
     is bit-masked, bit-rotated, lane-rolled ONCE and scattered into a
-    w_f-frame window of the chunk's output block at a dynamic frame offset.
-    Work per chunk = O(window rows); no per-tile band plan exists at all
-    (the banded per-tile form paid two n_tiles-query device searchsorteds
-    ~10 ms/64 MB in the plan alone)."""
+    w_f-frame window of the chunk's output block at a prefetched frame
+    offset (``gf0``; an in-kernel min-reduce would sit on the serial RMW
+    chain — PERF.md §5).  Work per chunk = O(window rows); no per-tile band
+    plan exists at all (the banded per-tile form paid two n_tiles-query
+    device searchsorteds ~10 ms/64 MB in the plan alone)."""
     c = pl.program_id(0)
     dma = pltpu.make_async_copy(
         rows_hbm.at[pl.ds(base_ref[c], s_cap)], win, sem
@@ -247,6 +248,8 @@ def _place_bits_kernel(base_ref, ng_ref, rows_hbm, out_ref, win, sem, *,
 
     out_ref[:] = jnp.zeros((n_frames, LANES), jnp.int32)
     k0 = c * chunk_bits
+    g_base = base_ref[c] // SUBLANES  # bases are 8-aligned by the planner
+    f_base = c * n_frames
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
     u32 = jnp.uint32
 
@@ -291,9 +294,10 @@ def _place_bits_kernel(base_ref, ng_ref, rows_hbm, out_ref, win, sem, *,
         hi = rolled - lo
 
         # dynamic frame window: rows are ordered, so the group spans
-        # [min(f), min(f) + w_f); frames outside [0, n_frames) belong to
-        # neighbor chunks, which see these rows in their own windows
-        f0 = jnp.clip(jnp.min(f), 0, n_frames - w_f)
+        # [f0, f0 + w_f) with f0 prefetched; frames outside [0, n_frames)
+        # belong to neighbor chunks, which see these rows in their own
+        # windows
+        f0 = jnp.clip(gf0_ref[g_base + g] - f_base, 0, n_frames - w_f)
         frames = []
         for wf in range(w_f):
             af = f0 + wf
@@ -311,11 +315,12 @@ def _place_bits_kernel(base_ref, ng_ref, rows_hbm, out_ref, win, sem, *,
     jax.jit,
     static_argnames=("s_cap", "chunk_bits", "n_chunks", "w_f", "interpret"),
 )
-def _place_bits(rows, bases, ngroups, *, s_cap, chunk_bits, n_chunks, w_f,
-                interpret=False):
+def _place_bits(rows, bases, ngroups, gf0, *, s_cap, chunk_bits, n_chunks,
+                w_f, interpret=False):
     """One dispatch over chunks; chunk c covers output bits
     [c*chunk_bits, (c+1)*chunk_bits) and DMAs rows [bases[c], +s_cap) into
-    VMEM.  Returns (n_chunks * chunk_bits//4096, 128) int32 MSB-first
+    VMEM.  ``gf0[G]``: absolute output frame of global group G's first
+    row.  Returns (n_chunks * chunk_bits//4096, 128) int32 MSB-first
     output words."""
     assert chunk_bits % (LANES * 32) == 0
     n_frames = chunk_bits // (LANES * 32)
@@ -325,11 +330,11 @@ def _place_bits(rows, bases, ngroups, *, s_cap, chunk_bits, n_chunks, w_f,
         chunk_bits=chunk_bits,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (n_frames, LANES), lambda c, b, n: (c, 0),
+            (n_frames, LANES), lambda c, b, n, f: (c, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -344,7 +349,7 @@ def _place_bits(rows, bases, ngroups, *, s_cap, chunk_bits, n_chunks, w_f,
             (n_chunks * n_frames, LANES), jnp.int32
         ),
         interpret=interpret,
-    )(bases, ngroups, rows)
+    )(bases, ngroups, gf0, rows)
 
 
 # ----------------------------------------------------------------------
@@ -572,15 +577,16 @@ def encode_blocks_pallas(
         jnp.minimum(chunk_lo + chunk_bits, out_bits),
         side="left",
     ).astype(jnp.int32)
-    bases = jnp.minimum(sc0, s_rows - s_cap)
+    bases = jnp.minimum(sc0, s_rows - s_cap) & ~7
     ngroups = jnp.clip(
         -(-(sc1 - bases) // SUBLANES), 0, s_cap // SUBLANES
     )
     w_f = (SUBLANES * cap_words * 32) // (LANES * 32) + 2
     assert w_f * LANES * 32 <= chunk_bits
+    gf0 = s_abs_asm[::SUBLANES] >> 12  # absolute 4096-bit frame per group
 
     frames = _place_bits(
-        rows, bases, ngroups, s_cap=s_cap, chunk_bits=chunk_bits,
+        rows, bases, ngroups, gf0, s_cap=s_cap, chunk_bits=chunk_bits,
         n_chunks=n_chunks, w_f=w_f, interpret=interpret,
     )
     n_words_out = out_bits // 32

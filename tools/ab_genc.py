@@ -69,30 +69,40 @@ def main():
     tabs = codec.enc_tabs
     data_j = jnp.asarray(data)[None]
 
-    stage_fns = {}
-
     def _prefix(blocks, enc_tabs, *, upto, seg_bits, max_words, n_segs,
                 min_len, max_len, interpret):
-        """First `upto` stages of encode_blocks_pallas, checksum-reduced."""
-        g, b = blocks.shape
+        """First `upto` stages of encode_blocks_pallas, checksum-reduced.
+        ``upto="A_nt"``: kernel A on a PRE-RELAYOUT input (the transpose
+        runs outside the timed chain) — A minus A_nt = transpose cost."""
         cap_pairs = -(-G.ROW_BYTES * max_len // 64)
         cap_words = 2 * cap_pairs
         seg_shift = seg_bits.bit_length() - 1
         n_slots = ((seg_bits - 1 + cap_words * 32 - 1) >> seg_shift) + 1
-        n_rows_b = b // G.ROW_BYTES
-        n_rows = g * n_rows_b
-        tiles = -(-n_rows // G.TILE_ROWS)
-        n_rows_p = tiles * G.TILE_ROWS
-
-        d4 = blocks.reshape(-1, 4).astype(jnp.uint32)
-        w = (d4[:, 0] << 24) | (d4[:, 1] << 16) | (d4[:, 2] << 8) | d4[:, 3]
-        arr = jnp.zeros((n_rows_p, G.ROW_WORDS), jnp.int32)
-        arr = arr.at[:n_rows].set(
-            jax.lax.bitcast_convert_type(w, jnp.int32).reshape(
-                n_rows, G.ROW_WORDS
+        if upto == "A_nt":
+            data3 = blocks  # caller pre-relayouted (ROW_WORDS, T*8, 128)
+            tiles = data3.shape[1] // G.SUBLANES
+            n_rows = n_rows_p = tiles * G.TILE_ROWS
+            g = 1
+            n_rows_b = n_rows
+        else:
+            g, b = blocks.shape
+            n_rows_b = b // G.ROW_BYTES
+            n_rows = g * n_rows_b
+            tiles = -(-n_rows // G.TILE_ROWS)
+            n_rows_p = tiles * G.TILE_ROWS
+        if upto != "A_nt":
+            d4 = blocks.reshape(-1, 4).astype(jnp.uint32)
+            w = (
+                (d4[:, 0] << 24) | (d4[:, 1] << 16) | (d4[:, 2] << 8)
+                | d4[:, 3]
             )
-        )
-        data3 = arr.T.reshape(G.ROW_WORDS, tiles * G.SUBLANES, G.LANES)
+            arr = jnp.zeros((n_rows_p, G.ROW_WORDS), jnp.int32)
+            arr = arr.at[:n_rows].set(
+                jax.lax.bitcast_convert_type(w, jnp.int32).reshape(
+                    n_rows, G.ROW_WORDS
+                )
+            )
+            data3 = arr.T.reshape(G.ROW_WORDS, tiles * G.SUBLANES, G.LANES)
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -133,7 +143,7 @@ def main():
             ],
             interpret=interpret,
         )(enc_tabs.lo, enc_tabs.hi, data3)
-        if upto == "A":
+        if upto in ("A", "A_nt"):
             return (
                 jnp.sum(bits3) ^ pay[0, 0, :8].astype(jnp.int32)
                 ^ starts3[0, 0, :8]
@@ -229,9 +239,32 @@ def main():
         def mk(R):
             @jax.jit
             def f(d):
+                if upto == "A_nt":
+                    # relayout ONCE outside the chain (kernel-only timing)
+                    g, b = d.shape
+                    n_rows = g * (b // G.ROW_BYTES)
+                    tiles = -(-n_rows // G.TILE_ROWS)
+                    d4 = d.reshape(-1, 4).astype(jnp.uint32)
+                    w = (
+                        (d4[:, 0] << 24) | (d4[:, 1] << 16)
+                        | (d4[:, 2] << 8) | d4[:, 3]
+                    )
+                    arr = jnp.zeros(
+                        (tiles * G.TILE_ROWS, G.ROW_WORDS), jnp.int32
+                    ).at[:n_rows].set(
+                        jax.lax.bitcast_convert_type(w, jnp.int32).reshape(
+                            n_rows, G.ROW_WORDS
+                        )
+                    )
+                    d = arr.T.reshape(
+                        G.ROW_WORDS, tiles * G.SUBLANES, G.LANES
+                    )
+
                 def body(i, carry):
                     acc, dd = carry
-                    dd = dd.at[0, 0].set(dd[0, 0] ^ jnp.uint8(1))
+                    dd = dd.at[0, 0].set(
+                        dd[0, 0] ^ (1 if upto == "A_nt" else jnp.uint8(1))
+                    )
                     s = _prefix(dd, tabs, upto=upto, **kw)
                     return acc ^ s, dd
                 acc, _ = jax.lax.fori_loop(
@@ -240,7 +273,7 @@ def main():
             return f
         return mk
 
-    makers = {u: mk_maker(u) for u in ("A", "AB", "full")}
+    makers = {u: mk_maker(u) for u in ("A", "A_nt", "AB", "full")}
     reps = args.reps
     ts = measure_chained_multi(
         makers, max(reps // 4, 1), reps, data_j, trials=args.trials
@@ -249,6 +282,7 @@ def main():
     for name, dt in ts.items():
         out[name + "_ms"] = round(dt * 1e3, 2)
         log(f"{name}: {dt*1e3:.2f} ms  ({size/dt/1e9:.3f} GB/s)")
+    out["transpose_ms"] = round(out["A_ms"] - out["A_nt_ms"], 2)
     out["meta_ms"] = round(out["AB_ms"] - out["A_ms"], 2)
     out["place_ms"] = round(out["full_ms"] - out["AB_ms"], 2)
     print(json.dumps({"metric": "genc_stage_split", "size": size, **out}),
