@@ -406,7 +406,7 @@ def compact_ranks_device(
     symtab: np.ndarray,
     out_size: int,
     *,
-    chunked: bool = True,
+    chunked: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Place + permute decoded ranks into the final byte stream, on device.

@@ -642,10 +642,16 @@ def decode_blocks_pallas(
     seg_bits: int,
     max_count: int,
     out_size: int,
-    chunked: bool = True,
+    chunked: bool = False,
     interpret: bool = False,
 ):
     """Batched Pallas decode of G independent equal-size blocks.
+
+    ``chunked`` selects the chunk-shared placement kernel; the banded
+    per-tile form stays the DEFAULT on measurement (v5e 64 MB r=0.5,
+    bench_logs/r05/gap_ab2.log: banded 6.42 vs chunked 5.34 GB/s even with
+    prefetched frame bases — the per-group dynamic-offset RMW chain costs
+    more than the band re-reads it saves at decode row sizes).
 
     One ranks-kernel dispatch + one compaction per sub-group (the per-block
     form costs a full tunnel round-trip per block): each block's payload is

@@ -156,7 +156,10 @@ def _row_pack_kernel(lo_tab, hi_tab, data_ref, pay_ref, bits_ref, starts_ref,
             w = pltpu.bitcast(data_ref[i], u32)
             ps = []
             for b in range(4):
-                sym = ((w >> u32(24 - 8 * b)) & u32(255)).astype(jnp.int32)
+                # LITTLE-endian byte extraction: the caller feeds the raw
+                # byte stream bitcast to native u32 (byte 0 = LSB), so no
+                # byteswap stage exists anywhere
+                sym = ((w >> u32(8 * b)) & u32(255)).astype(jnp.int32)
                 entry = _lane_lookup(lo_tab[:], hi_tab[:], sym)
                 ps.append(tot)
                 tot = tot + (entry >> 20)
@@ -185,6 +188,57 @@ def _row_pack_kernel(lo_tab, hi_tab, data_ref, pay_ref, bits_ref, starts_ref,
     )
     flush2(a, used, e_ptr, jnp.int32(base_f), final=True)
     bits_ref[:] = tot
+
+
+# ----------------------------------------------------------------------
+# Input relayout: word w of row r across the lane grid (XLU kernel)
+# ----------------------------------------------------------------------
+def _relayout_kernel(in_ref, out_ref):
+    """(1024 rows x 32 words, natural order) -> data3 block (32, 8, 128).
+
+    The XLA transpose of (n_rows, 32) -> (32, n_rows) measured 28.75 ms of
+    a 79 ms 64 MB encode (bench_logs/r05/genc_split2.log) — a tall-skinny
+    minor-dim-32 transpose XLA lowers terribly.  Per 128-row sub-block the
+    relayout is transpose(flat.reshape(128, 32)), which decomposes into
+    four (32, 32) XLU transposes + lane-permute interleaves."""
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (32, LANES), 1)
+    idx = iota_l >> 2
+    for s in range(SUBLANES):
+        x = in_ref[32 * s : 32 * s + 32]  # (32, 128): 4096 words
+        out = jnp.zeros((32, LANES), jnp.int32)
+        for j2 in range(4):
+            t = jnp.transpose(
+                jax.lax.slice_in_dim(x, 32 * j2, 32 * j2 + 32, axis=1),
+                (1, 0),
+            )  # t[w, c] = x[c, 32*j2 + w]
+            tp = jnp.pad(t, ((0, 0), (0, LANES - 32)))
+            out = out | jnp.where(
+                (iota_l & 3) == j2,
+                jnp.take_along_axis(tp, idx, axis=1),
+                0,
+            )
+        out_ref[:, s] = out
+
+
+def _relayout(arr, tiles, *, interpret=False):
+    """(n_rows_p, ROW_WORDS) int32 natural rows -> (ROW_WORDS, T*8, 128)."""
+    n_rows_p = arr.shape[0]
+    return pl.pallas_call(
+        _relayout_kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_ROWS * ROW_WORDS // LANES, LANES),
+                         lambda t: (t, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (ROW_WORDS, SUBLANES, LANES), lambda t: (0, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (ROW_WORDS, tiles * SUBLANES, LANES), jnp.int32
+        ),
+        interpret=interpret,
+    )(arr.reshape(n_rows_p * ROW_WORDS // LANES, LANES))
 
 
 # ----------------------------------------------------------------------
@@ -418,15 +472,19 @@ def encode_blocks_pallas(
     n_rows_p = tiles * TILE_ROWS
 
     # ---- data relayout: row r's words across the lane grid --------------
-    d4 = blocks.reshape(-1, 4).astype(jnp.uint32)
-    w = (d4[:, 0] << 24) | (d4[:, 1] << 16) | (d4[:, 2] << 8) | d4[:, 3]
+    # native little-endian u32 view (kernel A extracts bytes LSB-first), so
+    # the whole prep is one pad + the XLU relayout kernel — the XLA
+    # byteswap+transpose form cost 28.75 ms/64 MB (genc_split2.log)
+    w = jax.lax.bitcast_convert_type(
+        blocks.reshape(-1, 4), jnp.uint32
+    ).reshape(-1)
     arr = jnp.zeros((n_rows_p, ROW_WORDS), jnp.int32)
     arr = arr.at[:n_rows].set(
         jax.lax.bitcast_convert_type(w, jnp.int32).reshape(
             n_rows, ROW_WORDS
         )
     )
-    data3 = arr.T.reshape(ROW_WORDS, tiles * SUBLANES, LANES)
+    data3 = _relayout(arr, tiles, interpret=interpret)
 
     # ---- kernel A: row prepack -----------------------------------------
     kern_a = functools.partial(

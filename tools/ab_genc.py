@@ -91,18 +91,16 @@ def main():
             tiles = -(-n_rows // G.TILE_ROWS)
             n_rows_p = tiles * G.TILE_ROWS
         if upto != "A_nt":
-            d4 = blocks.reshape(-1, 4).astype(jnp.uint32)
-            w = (
-                (d4[:, 0] << 24) | (d4[:, 1] << 16) | (d4[:, 2] << 8)
-                | d4[:, 3]
-            )
+            w = jax.lax.bitcast_convert_type(
+                blocks.reshape(-1, 4), jnp.uint32
+            ).reshape(-1)
             arr = jnp.zeros((n_rows_p, G.ROW_WORDS), jnp.int32)
             arr = arr.at[:n_rows].set(
                 jax.lax.bitcast_convert_type(w, jnp.int32).reshape(
                     n_rows, G.ROW_WORDS
                 )
             )
-            data3 = arr.T.reshape(G.ROW_WORDS, tiles * G.SUBLANES, G.LANES)
+            data3 = G._relayout(arr, tiles, interpret=interpret)
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -244,11 +242,9 @@ def main():
                     g, b = d.shape
                     n_rows = g * (b // G.ROW_BYTES)
                     tiles = -(-n_rows // G.TILE_ROWS)
-                    d4 = d.reshape(-1, 4).astype(jnp.uint32)
-                    w = (
-                        (d4[:, 0] << 24) | (d4[:, 1] << 16)
-                        | (d4[:, 2] << 8) | d4[:, 3]
-                    )
+                    w = jax.lax.bitcast_convert_type(
+                        d.reshape(-1, 4), jnp.uint32
+                    ).reshape(-1)
                     arr = jnp.zeros(
                         (tiles * G.TILE_ROWS, G.ROW_WORDS), jnp.int32
                     ).at[:n_rows].set(
@@ -256,9 +252,7 @@ def main():
                             n_rows, G.ROW_WORDS
                         )
                     )
-                    d = arr.T.reshape(
-                        G.ROW_WORDS, tiles * G.SUBLANES, G.LANES
-                    )
+                    d = G._relayout(arr, tiles, interpret=interpret)
 
                 def body(i, carry):
                     acc, dd = carry

@@ -48,6 +48,19 @@ def _fit(data, max_len=16):
     )
 
 
+def _load(args, size, seed):
+    """Benchmark data: synthetic by default, or a real file (--input),
+    cycled/truncated to `size` (same harness convention as bench.py)."""
+    from huffman_tpu.utils import generate_redundant
+
+    if not getattr(args, "input", None):
+        return generate_redundant(size, args.redundancy, seed=seed)
+    raw = np.fromfile(args.input, np.uint8)
+    if raw.size >= size:
+        return raw[:size].copy()
+    return np.tile(raw, -(-size // max(raw.size, 1)))[:size].copy()
+
+
 def measure_sized(run, sizes, trials=5):
     """Seconds per (sizes[1]-sizes[0]) bytes: interleave run(size) trials and
     difference the minima (run must block until the device is done)."""
@@ -126,7 +139,7 @@ def bench_gap_pallas(args, interpret):
     from bench import measure_chained
 
     size = args.size
-    data = generate_redundant(size, args.redundancy, seed=0)
+    data = _load(args, size, 0)
     codec = GapArrayCodec.fit(data, block_bytes=size, method="pallas")
     setup = _gap_fused_setup(args, codec, data)
     if setup is None:
@@ -206,7 +219,7 @@ def bench_htc1_encode(args, interpret):
     from bench import measure_chained
 
     size = args.size
-    data = generate_redundant(size, args.redundancy, seed=4)
+    data = _load(args, size, 4)
     codec = GapArrayCodec.fit(data, block_bytes=size)
     lens = codec.table.lengths.astype(np.int64)
     max_bits = int(lens[data].sum())
@@ -274,7 +287,7 @@ def bench_selfsync(args, interpret):
     from huffman_tpu.utils import generate_redundant
 
     s1 = args.size // 2
-    data = generate_redundant(2 * s1, args.redundancy, seed=1)
+    data = _load(args, 2 * s1, 1)
     table = _fit(data)
     streams = {}
     for size in (s1, 2 * s1):
@@ -327,7 +340,7 @@ def bench_yamamoto(args, interpret):
     from huffman_tpu.utils import generate_redundant
 
     s1 = min(args.size // 2, args.yamamoto_cap)
-    data = generate_redundant(2 * s1, args.redundancy, seed=2)
+    data = _load(args, 2 * s1, 2)
     table = _fit(data)
     dec = device_dec_table(table, two_level=False)
     spec = dec_spec(table)
@@ -381,7 +394,7 @@ def bench_block_methods(args, interpret):
     from huffman_tpu.utils import generate_redundant
 
     size = min(args.size // 8, args.yamamoto_cap)
-    data = generate_redundant(size, args.redundancy, seed=3)
+    data = _load(args, size, 3)
     # method="twolevel" so codec.dec carries the L1/L2 form (the A/B below
     # drives all three methods through the same table)
     codec = GapArrayCodec.fit(data, block_bytes=size, method="twolevel")
@@ -450,6 +463,9 @@ def main():
     ap.add_argument("--redundancy", type=float, default=0.5)
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--input", type=str, default=None,
+                    help="benchmark a real file instead of synthetic data "
+                         "(cycled/truncated to the config's size)")
     ap.add_argument("--yamamoto-cap", type=int, default=1 << 23,
                     help="cap for the XLA scan paths (gather-bound)")
     ap.add_argument("--cpu", action="store_true",
