@@ -238,27 +238,43 @@ def decode_yamamoto(buf: bytes, method: str | None = None) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "seg_bits", "max_count", "out_cap", "interpret"),
+    static_argnames=(
+        "spec", "seg_bits_count", "fold", "n_segs_out", "out_cap",
+        "interpret",
+    ),
 )
-def _yam_meta(words, gaps, total_bits, original_size, dec, *, spec,
-              seg_bits, max_count, out_cap, interpret=False):
+def _yam_meta(words, gaps_c, total_bits, original_size, dec, *, spec,
+              seg_bits_count, fold, n_segs_out, out_cap, interpret=False):
     """Stage A, ONE dispatch: Pallas counting pass + last-segment
     correction + placement-plan scalars.  Only ~16 int32s cross to the
     host.  The counting pass is `count_segments_pallas` — the XLA scan
     gathered `words[pos>>5]` once per segment per symbol step (~30 ns/el,
-    which capped foreign-container decode at 0.03 GB/s)."""
-    del max_count
+    which capped foreign-container decode at 0.03 GB/s).
+
+    Counting runs at FINE granularity (``seg_bits_count``-bit segments,
+    few payload pairs per lane so the refill one-hot stays cheap) and the
+    per-fine-segment counts fold ``fold``:1 into the coarser placement
+    segments — the merge widths that suit the two stages differ (wide
+    rows amortize placement's per-row cost; wide counting lanes pay a
+    refill one-hot over every extra payload pair)."""
     from ..ops.compact import compact_scalars
     from ..ops.pallas.decode_kernel import count_segments_pallas
 
-    s = gaps.shape[0]
-    starts = jnp.arange(s, dtype=jnp.int32) * seg_bits + gaps
+    s_c = gaps_c.shape[0]
+    starts = jnp.arange(s_c, dtype=jnp.int32) * seg_bits_count + gaps_c
     nxt = jnp.concatenate([starts[1:], total_bits[None]])
     budgets = jnp.minimum(nxt, total_bits) - starts
-    counts = count_segments_pallas(
-        words, gaps, budgets, dec, spec=spec, seg_bits=seg_bits,
-        n_segs=s, interpret=interpret,
-    )[:s]
+    counts_c = count_segments_pallas(
+        words, gaps_c, budgets, dec, spec=spec, seg_bits=seg_bits_count,
+        n_segs=s_c, interpret=interpret,
+    )[:s_c]
+    counts = (
+        jnp.zeros(n_segs_out * fold, jnp.int32)
+        .at[:s_c]
+        .set(counts_c)
+        .reshape(n_segs_out, fold)
+        .sum(axis=1)
+    )
     last_raw = counts[-1]
     excess = jnp.sum(counts) - original_size
     counts = counts.at[-1].add(-excess)
@@ -294,12 +310,15 @@ def _decode_pallas_planned(words_j, gaps_j, dec, spec, table, n_segs,
     interpret = jax.default_backend() != "tpu"
     for g_merge in (8, 2, 1):
         seg_eff = _SEGMENT_BITS * g_merge
-        gaps_g = gaps_j[::g_merge]
+        g_count = min(g_merge, 2)  # counting granularity (cheap refill)
+        gaps_c = gaps_j[::g_count]
+        gaps_g = gaps_j[::g_merge]  # placement/ranks granularity
         n_segs_g = -(-n_segs // g_merge)
         counts, scal = _yam_meta(
-            words_j, gaps_g, jnp.int32((int(words_j.shape[0]) - 2) * 32),
-            jnp.int32(original_size), dec, spec=spec, seg_bits=seg_eff,
-            max_count=seg_eff // max(spec.min_len, 1) + 1,
+            words_j, gaps_c, jnp.int32((int(words_j.shape[0]) - 2) * 32),
+            jnp.int32(original_size), dec, spec=spec,
+            seg_bits_count=_SEGMENT_BITS * g_count,
+            fold=g_merge // g_count, n_segs_out=n_segs_g,
             out_cap=original_size,
             interpret=interpret,
         )

@@ -361,19 +361,27 @@ def _count_kernel(lim_ref, gaps_ref, budget_ref, segw_ref, out_ref, *,
         )
         return a0, a1, s2, s3, valid, pptr, consumed, cnt
 
-    def body(j, st):
-        a0, a1, s2, s3, valid, pptr, consumed, cnt = st
+    def cond(st):
+        # all-lanes-done early exit: the static trip bound assumes min_len
+        # bits per symbol, a 2-5x overshoot for typical tables; the actual
+        # per-tile count converges much sooner and surplus iterations are
+        # all-lane no-ops
+        j, _, _, _, _, _, _, consumed, _ = st
+        return (j < iters) & jnp.any(consumed < budget)
+
+    def body(st):
+        j, a0, a1, s2, s3, valid, pptr, consumed, cnt = st
         for _ in range(4):
             a0, a1, s2, s3, valid, pptr, consumed, cnt = quad(
                 a0, a1, s2, s3, valid, pptr, consumed, cnt
             )
-        return (a0, a1, s2, s3, valid, pptr, consumed, cnt)
+        return (j + 1, a0, a1, s2, s3, valid, pptr, consumed, cnt)
 
     st = (
-        a0, a1, s2, s3, valid, pptr,
+        jnp.int32(0), a0, a1, s2, s3, valid, pptr,
         jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32),
     )
-    st = jax.lax.fori_loop(0, iters, body, st, unroll=False)
+    st = jax.lax.while_loop(cond, body, st)
     out_ref[:] = st[-1]
 
 
