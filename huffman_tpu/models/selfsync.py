@@ -100,6 +100,49 @@ def _compose_scan(exits: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros(1, jnp.int32), exit_state[: n - 1]])
 
 
+def _compose_scan_packed(exits: jnp.ndarray) -> jnp.ndarray:
+    """`_compose_scan` with the 16 four-bit states NIBBLE-PACKED into
+    (n, 2) int32 — identical results (pinned by tests).
+
+    The scan is HBM-traffic bound, not op bound: each associative_scan
+    round reads/writes full (n, 16) int32 prefix arrays, ~128 bytes per
+    subsequence per round x ~20 rounds at 128 MB streams.  Packing cuts
+    the per-element footprint 8x; the combine's op count rises (16 x 16
+    select-accumulate on nibbles), but those fuse into the same pass."""
+    f = exits.astype(jnp.int32)
+    n = exits.shape[0]
+    np2 = 1 << max(n - 1, 1).bit_length()
+    if np2 != n:
+        ident = jnp.broadcast_to(
+            jnp.arange(SYNC_STATES, dtype=jnp.int32)[None],
+            (np2 - n, SYNC_STATES),
+        )
+        f = jnp.concatenate([f, ident], axis=0)
+
+    halves = [
+        sum((f[:, 8 * h + j] << (4 * j)) for j in range(8)) for h in (0, 1)
+    ]
+    packed = jnp.stack(halves, axis=1)  # (np2, 2) int32
+
+    def combine(a, b):
+        bk = [(b[:, k >> 3] >> (4 * (k & 7))) & 15 for k in range(16)]
+        out = []
+        for h in (0, 1):
+            acc = jnp.zeros_like(a[:, 0])
+            for j in range(8):
+                a_s = (a[:, h] >> (4 * j)) & 15
+                r = jnp.zeros_like(a_s)
+                for k in range(16):
+                    r = r + jnp.where(a_s == k, bk[k], 0)
+                acc = acc | (r << (4 * j))
+            out.append(acc)
+        return jnp.stack(out, axis=1)
+
+    pg = jax.lax.associative_scan(combine, packed, axis=0)
+    exit_state = pg[:, 0] & 15  # composed transition applied to state 0
+    return jnp.concatenate([jnp.zeros(1, jnp.int32), exit_state[: n - 1]])
+
+
 def selfsync_decode_words(
     words: np.ndarray,
     total_bits: int,
@@ -116,12 +159,13 @@ def selfsync_decode_words(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "seg_bits", "n_subseq", "max_len", "min_len", "out_cap", "interpret"
+        "seg_bits", "n_subseq", "max_len", "min_len", "out_cap",
+        "packed_scan", "interpret",
     ),
 )
 def _selfsync_meta(
     words, total_bits, lim, *, seg_bits, n_subseq, max_len, min_len,
-    out_cap, interpret,
+    out_cap, packed_scan=True, interpret=False,
 ):
     """Stage A, ONE dispatch: transitions + composition scan + per-subseq
     (entry, count) + the placement plan's scalar half — only ~14 int32s
@@ -137,7 +181,7 @@ def _selfsync_meta(
     packed = packed[:, :n_subseq].T  # (n, 16)
     exits = packed >> 16
     counts16 = packed & 0xFFFF
-    entry = _compose_scan(exits)
+    entry = (_compose_scan_packed if packed_scan else _compose_scan)(exits)
     counts = jnp.take_along_axis(counts16, entry[:, None], axis=1)[:, 0]
     counts = counts.astype(jnp.int32)
     plan = compact_scalars(counts, out_cap)

@@ -185,6 +185,20 @@ def test_selfsync_compose_scan_exact_beyond_float32():
     assert total > 10**8  # VERDICT item 1 scale: >= 1e8 symbols (128 MB+)
 
 
+def test_compose_scan_packed_matches_unpacked():
+    # the nibble-packed composition scan must be bit-identical to the
+    # (n, 16) form on arbitrary transition functions
+    from huffman_tpu.models.selfsync import _compose_scan, _compose_scan_packed
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    for n in (1, 5, 1024, 3000):
+        exits = rng.integers(0, 16, size=(n, 16)).astype(np.int32)
+        a = np.asarray(_compose_scan(jnp.asarray(exits)))
+        b = np.asarray(_compose_scan_packed(jnp.asarray(exits)))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_selfsync_single_symbol_stream():
     data = np.full(30_000, 99, np.uint8)
     table = _fit(data)
