@@ -138,3 +138,69 @@ def test_ils_sharded_certified_pipeline(rot):
     out = dec_fn(sec.payload_dev, sec.starts_dev, params_j, boffs_dev, dec)
     got = np.asarray(out).reshape(-1, 8, 128).view(np.uint32).reshape(-1)
     assert np.array_equal(got.view(np.uint8), data)
+
+
+def test_streamed_sections_decode_on_mesh(tmp_path):
+    """Section-streamed container + multi-device decode compose (VERDICT r5
+    item 5's mesh-functional half): a file streamed to disk in bounded
+    sections, then each full section decoded over the 8-device mesh with
+    bounded host memory — the big-stream orchestration a 16 GB multi-host
+    run would use, proven at test scale."""
+    from huffman_tpu.core.canonical import chain_spec
+    from huffman_tpu.core.ils_ref import ils_n_win
+    from huffman_tpu.io.container import IlsStreamReader
+
+    n_devices, k = 8, 8
+    mesh = data_mesh(n_devices)
+    tile_bytes = k * ILS_LANES
+    section_bytes = n_devices * 2 * tile_bytes  # 16 tiles/section
+    n = 3 * section_bytes + 5000  # 3 full sections + a padded tail
+    data = generate_redundant(n, 0.5, seed=51)
+    src = tmp_path / "src.bin"
+    data.tofile(src)
+
+    codec = IlsCodec.fit_file(str(src), k=k, interpret=True)
+    cpath = tmp_path / "out.ils"
+    codec.encode_file(str(src), str(cpath), section_bytes=section_bytes)
+
+    out = np.zeros(0, np.uint8)
+    with open(cpath, "rb") as f:
+        reader = IlsStreamReader(f)
+        dec = ils_dec_tabs(reader.table)
+        while True:
+            sec = reader.read_section()
+            if sec is None:
+                break
+            p = sec.params
+            if p.n_tiles % n_devices == 0 and p.n_tiles >= n_devices:
+                payload_dev, starts_dev = shard_ils_payload(
+                    sec.payload, p.row_starts, p.w_cap, n_devices
+                )
+                dec_fn = make_ils_sharded_decode(
+                    mesh, k=p.k, w_cap=p.w_cap, w_band=p.w_band,
+                    max_len=max(reader.table.max_len_present, 1),
+                    min_len=max(reader.table.min_len, 1),
+                    tiles_per_device=p.n_tiles // n_devices, rot=p.rot,
+                    chain=chain_spec(reader.table), interpret=True,
+                )
+                got = dec_fn(
+                    jnp.asarray(payload_dev), jnp.asarray(starts_dev),
+                    jnp.asarray(np.array([p.snum, 0], np.int32)),
+                    jnp.asarray(p.boffs.reshape(n_devices, -1, ils_n_win(p.k))),
+                    dec,
+                )
+                piece = (
+                    np.asarray(got).reshape(-1, 8, 128).view(np.uint32)
+                    .reshape(-1).view(np.uint8)
+                )
+            else:  # tail section: single-device decode
+                from huffman_tpu.ops.ils import ils_decode_device
+
+                piece = np.asarray(
+                    ils_decode_device(
+                        sec, reader.table, dec, interpret=True
+                    )
+                )
+            out = np.concatenate([out, piece])
+        reader.close()
+    assert np.array_equal(out[:n], data)

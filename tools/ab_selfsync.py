@@ -91,21 +91,31 @@ def main():
             return acc
         return f
 
-    def mk_meta(R):
-        @jax.jit
-        def f(w):
-            def body(i, carry):
-                acc, ww = carry
-                ww = ww.at[0].set(ww[0] ^ jnp.uint32(1))
-                entry, counts, scal = S._selfsync_meta(
-                    ww, jnp.int32(total_bits), lim_j, out_cap=out_cap, **kw
-                )
-                return acc ^ jnp.sum(entry) ^ jnp.sum(counts) ^ scal[0], ww
-            acc, _ = jax.lax.fori_loop(0, R, body, (jnp.int32(0), w))
-            return acc
-        return f
+    def mk_meta(packed):
+        def mk(R):
+            @jax.jit
+            def f(w):
+                def body(i, carry):
+                    acc, ww = carry
+                    ww = ww.at[0].set(ww[0] ^ jnp.uint32(1))
+                    entry, counts, scal = S._selfsync_meta(
+                        ww, jnp.int32(total_bits), lim_j, out_cap=out_cap,
+                        packed_scan=packed, **kw
+                    )
+                    return (
+                        acc ^ jnp.sum(entry) ^ jnp.sum(counts) ^ scal[0],
+                        ww,
+                    )
+                acc, _ = jax.lax.fori_loop(0, R, body, (jnp.int32(0), w))
+                return acc
+            return f
+        return mk
 
-    makers = {"trans": mk_trans, "meta": mk_meta}
+    makers = {
+        "trans": mk_trans,
+        "meta": mk_meta(True),
+        "meta_unpacked": mk_meta(False),
+    }
     reps = args.reps
     ts = measure_chained_multi(
         makers, max(reps // 2, 1), reps, words_j, trials=args.trials
