@@ -97,21 +97,29 @@ def _transition_kernel(
             count = count + active.astype(jnp.int32)
             return hi, lo, valid, pos, count
 
-        def body(i, carry):
+        def cond(carry):
+            # all-lanes-done early exit: the static bound assumes min_len
+            # bits per codeword (2-5x overshoot on typical tables); surplus
+            # steps are all-lane masked no-ops, so exiting when every lane
+            # of this entry has consumed its subsequence is exact
+            j, hi, lo, valid, wptr, pos, count = carry
+            return (j < _cdiv(_cdiv(steps, 2), 4)) & jnp.any(pos < end_local)
+
+        def body(carry):
             # 4x unrolled: fori_loop per-iteration overhead dominates these
             # short bodies (see the ILS kernels); surplus trailing steps are
             # masked no-ops (pos >= end_local) and their refills select no
             # row, so rounding the trip count up is harmless.
-            hi, lo, valid, wptr, pos, count = carry
+            j, hi, lo, valid, wptr, pos, count = carry
             for _ in range(4):
                 hi, lo, valid, pos, count = step(hi, lo, valid, pos, count)
                 hi, lo, valid, pos, count = step(hi, lo, valid, pos, count)
                 hi, lo, valid, wptr = refill(hi, lo, valid, wptr)
-            return hi, lo, valid, wptr, pos, count
+            return j + 1, hi, lo, valid, wptr, pos, count
 
-        hi, lo, valid, wptr, pos, count = jax.lax.fori_loop(
-            0, _cdiv(_cdiv(steps, 2), 4), body, (hi, lo, valid, wptr, pos, count),
-            unroll=False,
+        _, hi, lo, valid, wptr, pos, count = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), hi, lo, valid, wptr, pos, count),
         )
         exit_off = jnp.clip(pos - seg_bits, 0, SYNC_STATES - 1)
         out_ref[e] = (exit_off << 16) | count

@@ -1,0 +1,18 @@
+#!/bin/bash
+# r5 TPU measurement session (retry after the 00:24-01:40 tunnel outage):
+# encode stage split + headline, selfsync split + bench, yamamoto bench.
+set -u
+cd "$(dirname "$0")/.."
+L=bench_logs/r05
+run() {
+  name=$1; shift
+  echo "=== $name: $*" >&2
+  timeout 3600 python -u "$@" > "$L/$name.log" 2> "$L/$name.err"
+  echo "--- $name exit=$? ---" >&2
+  cat "$L/$name.log"
+}
+run genc_split4   tools/ab_genc.py --size $((1<<26))
+run htc1_enc4     tools/secondary_bench.py --size $((1<<26)) --configs htc1_encode
+run selfsync_sp4  tools/ab_selfsync.py --size $((1<<26))
+run sec_sy4       tools/secondary_bench.py --size $((1<<26)) --configs selfsync,yamamoto
+run gap4          tools/secondary_bench.py --size $((1<<26)) --configs gap_pallas
