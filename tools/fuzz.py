@@ -136,7 +136,7 @@ def secondary_case(i, rng, interpret):
     if int(np.count_nonzero(freqs)) > (1 << max_len):
         max_len = 16
 
-    which = rng.choice(["gap", "selfsync", "yamamoto"])
+    which = rng.choice(["gap", "gapdev", "selfsync", "yamamoto"])
     if which == "gap":
         method = str(rng.choice(["lut", "canonical", "twolevel", "pallas"]))
         codec = GapArrayCodec.fit(
@@ -146,6 +146,21 @@ def secondary_case(i, rng, interpret):
         out = codec.decode(codec.encode(data))
         assert np.array_equal(out, data), f"gap[{method}] roundtrip mismatch"
         which = f"gap[{method}]"
+    elif which == "gapdev":
+        # device-resident pipeline: the Pallas bit-placement ENCODE
+        # (`encode_blocks_pallas`, r5) feeding the Pallas decode — the
+        # device counterpart of the host-staged `gap` case above
+        import jax.numpy as jnp
+
+        bb = 1 << int(rng.integers(12, 16))
+        g = max(n // bb, 1)
+        d = data[: g * bb]
+        if d.size < g * bb:
+            d = np.pad(d, (0, g * bb - d.size))
+        codec = GapArrayCodec.fit(d, max_len=max_len, block_bytes=bb)
+        dcomp = codec.encode_device(jnp.asarray(d.reshape(g, bb)))
+        out = np.asarray(codec.decode_device(dcomp)).reshape(-1)
+        assert np.array_equal(out, d), "gapdev device roundtrip mismatch"
     elif which == "selfsync":
         table = canonical_code_table(
             package_merge_lengths(freqs, max_len), max_len
