@@ -13,6 +13,13 @@ run() {
 }
 run genc_split4   tools/ab_genc.py --size $((1<<26))
 run htc1_enc4     tools/secondary_bench.py --size $((1<<26)) --configs htc1_encode
+run sec_sy4       tools/secondary_bench.py --size $((1<<26)) --configs yamamoto,selfsync
 run selfsync_sp4  tools/ab_selfsync.py --size $((1<<26))
-run sec_sy4       tools/secondary_bench.py --size $((1<<26)) --configs selfsync,yamamoto
 run gap4          tools/secondary_bench.py --size $((1<<26)) --configs gap_pallas
+echo "=== stream proof ===" >&2
+timeout 3600 bash tools/stream_proof.sh > "$L/stream_run.log" 2>&1
+tail -6 "$L/stream.log" 2>/dev/null
+echo "=== corpus sweep ===" >&2
+timeout $((4*3600)) bash tools/corpus_run.sh "$L/corpus" /root/corpus \
+  > "$L/corpus_run.log" 2>&1 || true
+grep -h '"metric"' "$L"/corpus/*.log 2>/dev/null | tail -20
