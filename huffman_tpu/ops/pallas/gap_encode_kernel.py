@@ -12,16 +12,21 @@ This module is the designed replacement (docs/PERF.md §6, VERDICT r4 item
 1): every scatter-shaped stage becomes a Pallas kernel, and the remaining
 XLA work is O(n_rows) = O(n/128), not O(n):
 
+0. **Input relayout** (`_relayout_kernel`): row r's 32 words across the
+   lane grid via four (32, 32) XLU sub-transposes per 128-row block — the
+   XLA form of this tall-skinny minor-dim-32 transpose measured 28.75 ms
+   of a 79 ms 64 MB encode (bench_logs/r05/genc_split2.log).  Bytes are
+   extracted little-endian in kernel A, so there is no byteswap stage.
 1. **Row prepack** (`_row_pack_kernel`): each VPU lane packs ROW_BYTES=128
    consecutive input bytes into its own bounded bit row using the flagship
-   ILS pack machinery (192-bit accumulator `_acc_insert`, deferred two-body
-   `flush2` — `ils_kernels.py:407`).  Because a row's capacity
-   (128·max_len bits) is small, the banded emission window can cover the
-   WHOLE row: the window base is 0 and, better, each of the 16 statically
-   unrolled flushes gets an exact static band [ep_min_f, ep_max_f+2)
-   derived from (min_len, max_len) — no certification, no violation flag,
-   no anchor tiers.  The kernel also emits each symbol's within-row start
-   bit (2 x 16-bit packed) and the row's total bit count.
+   ILS pack machinery (192-bit accumulator `_acc_insert`, deferred
+   two-body `flush2` — `ils_kernels.py:407`).  Because a row's capacity
+   (128·max_len bits) is small, no certification/violation/anchor
+   machinery exists: each flush's emission window base is an exact
+   function of the flush index and (min_len, max_len) (`_flush_bounds` —
+   a PROVEN bound, evaluated on the traced loop counter).  The kernel
+   also emits each symbol's within-row start bit (2 x 16-bit packed) and
+   the row's total bit count.
 2. **XLA glue**: one cumsum over per-row bit counts (n/128 elements) gives
    absolute row offsets; the reference's decoupled-lookback inter-block
    scan (`encoder.cu:192-263`) reduced to its essential O(n_rows) form.
@@ -32,16 +37,16 @@ XLA work is O(n_rows) = O(n/128), not O(n):
    3·n_rows elements instead of 2·n symbols — the same trick as
    `encode_block_fast`'s group metadata, 32x coarser.
 4. **Bit placement** (`_place_bits_kernel`): the encode mirror of the
-   decode compaction kernel (`compact_kernel.py::_kernel`) with BIT
-   granularity: each 4096-byte output tile reads a banded window of rows,
-   bit-masks each to its count, bit-rotates it to its output alignment
-   (d & 31), lane-rolls to its word offset ((d >> 5) & 127) and one-hot
-   scatters the two affected 128-word frames.  The per-tile band is a
-   *dynamic* fori_loop bound fed by scalar prefetch, so the cost tracks
-   the true per-tile row overlap while the VMEM window geometry stays
-   static (worst-case from the table's min_len) — which removes the
-   host certification sync entirely: the WHOLE encode (prepack, cumsum,
-   metadata, assembly, placement) is ONE jitted dispatch.
+   decode compaction kernels with BIT granularity, in the CHUNK-SHARED
+   form (`compact_kernel._chunk_kernel`): per chunk, each 8-row window
+   group is bit-masked to its count, bit-rotated to its output alignment
+   (d & 31), lane-rolled to its word offset ((d >> 5) & 127) and
+   scattered ONCE into a w_f-frame window of the chunk's output block at
+   a prefetched frame base.  The plan is per-CHUNK only (two searchsorted
+   queries over ~n_chunks), the VMEM window geometry is static
+   (worst-case from the table's min_len), and no host certification sync
+   exists: the WHOLE encode (relayout, prepack, cumsum, metadata,
+   assembly, placement) is ONE jitted dispatch.
 
 Bit-identical contract to `ops/encode.py::encode_block` (pinned by tests):
 words (MSB-first u32 units), total_bits, gaps, counts.
