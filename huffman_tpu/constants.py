@@ -10,28 +10,21 @@ TPU execution:
   codes keep every gap element in [0, 15] so it fits in 4 bits.
 - ``UNIT_BITS = 32``: the bitstream is packed MSB-first into uint32 "units",
   the same unit type as the reference (`cuhd_constants.h`, ``UNIT_TYPE``).
-- ``SEG_BITS = 2048``: our native segment size.  The reference uses 128-bit
+- ``SEG_BITS = 1024``: our native segment size.  The reference uses 128-bit
   segments with a 4-bit gap each (3.125% metadata overhead); we use larger
   segments carrying (gap: 4 bits, symbol count: 12 bits) = 16 bits per
-  segment (0.78% overhead) which both *shrinks* the compressed stream versus
+  segment (1.56% overhead) which both *shrinks* the compressed stream versus
   the reference and removes the decoder's counting pass entirely (the symbol
   count per segment is known at decode time, so output placement is a single
   ``cumsum`` instead of the reference's decode-count-scan-redecode pipeline,
-  `decoder/src/decoder.cu:529-653`).  2048 (was 1024 through r4) on r5
-  measurement: the decode pipeline already MERGED 1024-bit segments 2-wide
-  before placement (+28%, r4), so the wider native segment just bakes that
-  in; on the encode side a 128-byte prepack row then spans <= 2 segments
-  instead of 3, cutting the metadata segment-reduction wall by a third.
-  The worst-case segment (2048 one-bit codewords = 256 output bytes) still
-  fits the placement row budget (``MAX_ROW_BYTES`` = 480) and the 12-bit
-  count field.
+  `decoder/src/decoder.cu:529-653`).
 - ``REF_SEG_BITS = 128`` is kept for the reference-compatible container
   (4-bit gap only, two-pass decode).
 """
 
 MAX_CODEWORD_LENGTH = 16
 UNIT_BITS = 32
-SEG_BITS = 2048
+SEG_BITS = 1024
 REF_SEG_BITS = 128
 GAP_BITS = 4  # bits per gap element (max_len <= 16 keeps gaps in [0, 15])
 COUNT_BITS = 12  # bits per segment symbol count; SEG_BITS <= 4096 fits
