@@ -194,16 +194,45 @@ class GapArrayCodec:
         max_words = _round_up(_cdiv(max_bits, 32), 512)
         n_segs = _cdiv(max_words * 32, self.seg_bits)
 
-        f = functools.partial(
-            encode_block,
-            enc=self.enc,
-            seg_bits=self.seg_bits,
-            max_words=max_words,
-            n_segs=n_segs,
-        )
-        words, total_bits, gaps, counts = jax.vmap(lambda d: f(d))(
-            jnp.asarray(blocks)
-        )
+        from ..ops.pallas.gap_encode_kernel import ROW_BYTES
+
+        if b % ROW_BYTES == 0:
+            # same Pallas bit-placement pipeline as encode_device, with the
+            # exact host payload bound (the container path benefits too)
+            from ..ops.pallas.gap_encode_kernel import encode_blocks_pallas
+
+            w_pad = _round_up(max_words + 1, 1024)
+            g_cap = max(int((2**31 - 1) // (w_pad * 32)), 1)
+            parts = []
+            for lo in range(0, g, g_cap):
+                parts.append(
+                    encode_blocks_pallas(
+                        jnp.asarray(blocks[lo : lo + g_cap]),
+                        self.enc_tabs,
+                        seg_bits=self.seg_bits,
+                        max_words=max_words,
+                        n_segs=n_segs,
+                        min_len=max(int(self.table.min_len), 1),
+                        max_len=int(self.table.max_len_present),
+                        interpret=jax.default_backend() != "tpu",
+                    )
+                )
+            words, total_bits, gaps, counts = (
+                parts[0]
+                if len(parts) == 1
+                else tuple(jnp.concatenate(x) for x in zip(*parts))
+            )
+        else:
+            f = functools.partial(
+                encode_block,
+                enc=self.enc,
+                seg_bits=self.seg_bits,
+                max_words=max_words,
+                n_segs=n_segs,
+            )
+            words, total_bits, gaps, counts = jax.vmap(lambda d: f(d))(
+                jnp.asarray(blocks)
+            )
         return (
             np.asarray(words),
             np.asarray(total_bits),
