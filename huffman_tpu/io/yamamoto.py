@@ -308,7 +308,7 @@ def _decode_pallas_planned(words_j, gaps_j, dec, spec, table, n_segs,
     # 0.42 GB/s unmerged).  Finer merges retried when merged counts would
     # exceed the placement row budget (dense sub-2-bit content).
     interpret = jax.default_backend() != "tpu"
-    for g_merge in (8, 2, 1):
+    for g_merge in (8, 4, 2, 1):
         seg_eff = _SEGMENT_BITS * g_merge
         g_count = min(g_merge, 2)  # counting granularity (cheap refill)
         gaps_c = gaps_j[::g_count]

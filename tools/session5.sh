@@ -19,6 +19,8 @@ run gap4          tools/secondary_bench.py --size $((1<<26)) --configs gap_palla
 echo "=== stream proof ===" >&2
 timeout 3600 bash tools/stream_proof.sh > "$L/stream_run.log" 2>&1
 tail -6 "$L/stream.log" 2>/dev/null
+run gap_r09       tools/secondary_bench.py --size $((1<<26)) --redundancy 0.9 --configs gap_pallas,htc1_encode
+run gap_r01       tools/secondary_bench.py --size $((1<<26)) --redundancy 0.1 --configs gap_pallas,htc1_encode
 echo "=== corpus sweep ===" >&2
 timeout $((4*3600)) bash tools/corpus_run.sh "$L/corpus" /root/corpus \
   > "$L/corpus_run.log" 2>&1 || true
