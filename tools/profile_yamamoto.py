@@ -100,6 +100,42 @@ def main():
         a = t(stage_a, label=f"stage A (count g_count={g_count} + plan)")
         log(f"  -> {size / a / 1e9:.2f} GB/s equivalent")
 
+    # the segw glue alone (the (n_segs, wps+2) -> (wps+2, n_segs) XLA
+    # transpose feeding the counting kernel) — sum-consumed so XLA cannot
+    # DCE it (transparent-stage rule, CLAUDE.md)
+    from huffman_tpu.ops.pallas.decode_kernel import TILE_SEGS
+
+    for g_count in (2, 8):
+        seg_bits_c = _SEGMENT_BITS * g_count
+        wps = seg_bits_c // 32
+        rows = wps + 2
+        s_c = -(-n_segs // g_count)
+        tiles = -(-s_c // TILE_SEGS)
+        n_segs_p = tiles * TILE_SEGS
+        need_words = (n_segs_p + 1) * wps
+
+        @jax.jit
+        def glue(words_j, need_words=need_words, wps=wps, rows=rows,
+                 n_segs_p=n_segs_p, tiles=tiles):
+            n_copy = min(int(words_j.shape[0]), need_words)
+            words_p = (
+                jnp.zeros(need_words, jnp.uint32).at[:n_copy]
+                .set(words_j[:n_copy])
+            )
+            arr = words_p.reshape(n_segs_p + 1, wps)
+            segw = jnp.concatenate([arr[:-1], arr[1:, :2]], axis=1)
+            segw = (
+                jax.lax.bitcast_convert_type(segw, jnp.int32)
+                .T.reshape(rows, tiles * 8, 128)
+            )
+            return jnp.sum(segw, dtype=jnp.int32)
+
+        def run_glue():
+            jax.block_until_ready(glue(words_j))
+
+        gms = t(run_glue, label=f"segw glue alone (g_count={g_count})")
+        log(f"  -> {size / gms / 1e9:.2f} GB/s equivalent")
+
     log("note: stage B (fused ranks+placement) = whole - stage A(g=2) "
         "minus one dispatch floor; compare vs the HTC1 gap_pallas number")
 
