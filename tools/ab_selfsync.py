@@ -111,10 +111,67 @@ def main():
             return f
         return mk
 
+    # fused second dispatch (plan frozen from one real meta pass): the
+    # r5 full-path number (0.0235 GB/s) is ~25x the sum of the measured
+    # meta stages, so the missing time must be here or in the host glue —
+    # measure, don't infer
+    from huffman_tpu.models.selfsync import DecSpec, chain_spec
+    from huffman_tpu.ops.compact import (
+        TILE_BYTES,
+        CompactStatics,
+        _round_up,
+        _sym_tiles,
+        pick_chunk,
+    )
+    from huffman_tpu.ops.pallas.decode_kernel import fused_planned_decode
+    from huffman_tpu.ops.tables import device_dec_table
+
+    entry, counts, scal = S._selfsync_meta(
+        words_j, jnp.int32(total_bits), lim_j, out_cap=out_cap, **kw
+    )
+    scal_h = np.asarray(scal)
+    total_syms, max_count = int(scal_h[0]), int(scal_h[1])
+    band, s_cap, chunk_bytes = pick_chunk(scal_h[2:])
+    statics = CompactStatics(
+        out_size=total_syms,
+        n_segs=n_subseq,
+        band=band,
+        s_cap=s_cap,
+        s_pad=_round_up(max(n_subseq, 1), 8) + s_cap,
+        chunk_bytes=chunk_bytes,
+        n_tiles=-(-total_syms // TILE_BYTES),
+    )
+    symlo, symhi = _sym_tiles(np.asarray(table.symtab, np.uint8))
+    dec = device_dec_table(table, two_level=False)
+    spec = DecSpec(
+        lut_bits=max_len, max_len=max_len, min_len=min_len,
+        chain=chain_spec(table),
+    )
+    mc_p = -(-max(max_count, 1) // 8) * 8
+    log(f"plan: total_syms={total_syms} max_count={max_count} band={band} "
+        f"s_cap={s_cap} chunk_bytes={chunk_bytes}")
+
+    def mk_fused(R):
+        @jax.jit
+        def f(w):
+            def body(i, carry):
+                acc, ww = carry
+                ww = ww.at[0].set(ww[0] ^ jnp.uint32(1))
+                out = fused_planned_decode(
+                    ww, entry, counts, symlo, symhi, dec, spec=spec,
+                    seg_bits=S._SEG_BITS, n_segs=n_subseq,
+                    max_count=mc_p, statics=statics, interpret=interpret,
+                )
+                return acc ^ jnp.sum(out.astype(jnp.int32)), ww
+            acc, _ = jax.lax.fori_loop(0, R, body, (jnp.int32(0), w))
+            return acc
+        return f
+
     makers = {
         "trans": mk_trans,
         "meta": mk_meta(True),
         "meta_unpacked": mk_meta(False),
+        "fused": mk_fused,
     }
     reps = args.reps
     ts = measure_chained_multi(
