@@ -60,8 +60,99 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _kernel(lim_ref, bias_ref, gaps_ref, counts_ref, segw_ref, out_ref, *,
-            rows, max_len, min_len, chain):
+def _segw_planes(nat_ref, nxt0_ref, nxt1_ref, *, wps):
+    """In-kernel relayout of natural-order segment words.
+
+    Returns ``wps + 2`` (8, 128) int32 planes: ``planes[q][sl, l]`` = word
+    ``q`` of segment ``128*sl + l`` (this tile), plus two lookahead planes
+    (words 0/1 of segment+1) mirroring the old HBM layout.  Replaces the
+    XLA ``(n_segs, wps+2) -> (wps+2, n_segs)`` tall-skinny transpose glue
+    — the same shape class the encode side measured at 28.75 ms / 64 MB
+    (`gap_encode_kernel._relayout`).  In lane terms the relayout is a
+    per-sublane-group (128, wps) transpose: constant-index lane permutes
+    (`take_along_axis`, one vreg op each) + masked ORs.
+
+    ``nat_ref``: (8*wps, 128) natural words of this tile's 1024 segments.
+    ``nxt0_ref``/``nxt1_ref``: (1, 128) all-lane broadcasts of words 0/1
+    of the NEXT tile's first segment (pre-broadcast in XLA glue).
+    """
+    nat = nat_ref[:].reshape(SUBLANES, wps, LANES)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+    # q < wps never carries across a 128-lane line: l*wps % 128 <= 128-wps
+    row_of = (iota_l * wps) >> 7  # constant, in [0, wps)
+    planes = []
+    for q in range(wps):
+        idx = (iota_l * wps + q) & (LANES - 1)
+        acc = jnp.zeros((SUBLANES, LANES), jnp.int32)
+        for r in range(wps):
+            acc = acc | jnp.where(
+                row_of == r,
+                jnp.take_along_axis(nat[:, r, :], idx, axis=1),
+                0,
+            )
+        planes.append(acc)
+    for nxt_ref, base in ((nxt0_ref, planes[0]), (nxt1_ref, planes[1])):
+        # segment+1 = lane+1 with sublane carry; [7, 127] comes from the
+        # next tile (the XLA glue pads the global array one segment past
+        # the last tile, so the final tile's lookahead is the zero pad)
+        rolled = jnp.roll(base, -1, axis=1)
+        diag = jnp.roll(base, (-1, -1), axis=(0, 1))
+        nxt = nxt_ref[:].reshape(SUBLANES, LANES)
+        fix = jnp.where(iota_s == SUBLANES - 1, nxt, diag)
+        planes.append(jnp.where(iota_l == LANES - 1, fix, rolled))
+    return planes
+
+
+def _segw_glue(words, *, wps, tiles, n_segs_p):
+    """XLA-side inputs for `_segw_planes`: the natural word array plus the
+    two pre-broadcast next-tile lookahead rows."""
+    need_words = (n_segs_p + 1) * wps
+    n_copy = min(int(words.shape[0]), need_words)
+    words_p = (
+        jnp.zeros(need_words, jnp.uint32).at[:n_copy].set(words[:n_copy])
+    )
+    nat = jax.lax.bitcast_convert_type(
+        words_p[: tiles * TILE_SEGS * wps], jnp.int32
+    ).reshape(tiles * SUBLANES * wps, LANES)
+    nxt_base = (jnp.arange(tiles, dtype=jnp.int32) + 1) * (TILE_SEGS * wps)
+    # (tiles, 8, 128) full broadcasts: Mosaic requires block sublane dims
+    # divisible by 8, so a (1, 128) per-tile row is not loadable
+    nxt0 = jnp.broadcast_to(
+        jax.lax.bitcast_convert_type(words_p[nxt_base], jnp.int32)[
+            :, None, None
+        ],
+        (tiles, SUBLANES, LANES),
+    )
+    nxt1 = jnp.broadcast_to(
+        jax.lax.bitcast_convert_type(words_p[nxt_base + 1], jnp.int32)[
+            :, None, None
+        ],
+        (tiles, SUBLANES, LANES),
+    )
+    return nat, nxt0, nxt1
+
+
+def _segw_specs(wps):
+    """BlockSpecs for the three `_segw_glue` outputs (per-tile blocks)."""
+    return [
+        pl.BlockSpec(
+            (SUBLANES * wps, LANES), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, SUBLANES, LANES), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, SUBLANES, LANES), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+
+
+def _kernel(lim_ref, bias_ref, gaps_ref, counts_ref, nat_ref, nxt0_ref,
+            nxt1_ref, out_ref, *, rows, max_len, min_len, chain):
     """One tile: decode TILE_SEGS segments with the flagship's register
     discipline (VERDICT r3 item 1): a 128-bit register per lane whose low
     half is a lazy 64-bit decode window (only the window shifts per symbol;
@@ -70,7 +161,8 @@ def _kernel(lim_ref, bias_ref, gaps_ref, counts_ref, segw_ref, out_ref, *,
     is half that of word refills — most of the old refill cost), and the
     grouped compare chain (`core/canonical.py::chain_spec`) for the length
     decode.  16 symbols per loop iteration."""
-    segw = segw_ref[:]  # (rows, 8, 128) int32 (bit patterns of u32 words)
+    # list of (8, 128) planes; [j] = word j of each lane's segment
+    segw = _segw_planes(nat_ref, nxt0_ref, nxt1_ref, wps=rows - 2)
     gap = gaps_ref[:]  # (8, 128) int32, in [0, 31]
 
     u32 = jnp.uint32
@@ -230,8 +322,9 @@ def _kernel(lim_ref, bias_ref, gaps_ref, counts_ref, segw_ref, out_ref, *,
     )
 
 
-def _count_kernel(lim_ref, gaps_ref, budget_ref, segw_ref, out_ref, *,
-                  rows, max_len, min_len, chain, iters):
+def _count_kernel(lim_ref, gaps_ref, budget_ref, nat_ref, nxt0_ref,
+                  nxt1_ref, out_ref, *, rows, max_len, min_len, chain,
+                  iters):
     """Pass-1 symbol COUNTING for gap-only streams (the reference's counting
     pass, `decoder.cu:529-569`), with the same register/refill machinery as
     `_kernel` but lengths only: count symbols whose start offset (relative
@@ -239,7 +332,7 @@ def _count_kernel(lim_ref, gaps_ref, budget_ref, segw_ref, out_ref, *,
     `count_segments` scan gathers `words[pos>>5]` once per segment per
     step (~30 ns/element — it capped foreign-container decode at
     0.03 GB/s); this kernel is gather-free."""
-    segw = segw_ref[:]
+    segw = _segw_planes(nat_ref, nxt0_ref, nxt1_ref, wps=rows - 2)
     gap = gaps_ref[:]
     budget = budget_ref[:]
 
@@ -407,14 +500,8 @@ def count_segments_pallas(
     tiles = _cdiv(n_segs, TILE_SEGS)
     n_segs_p = tiles * TILE_SEGS
 
-    need_words = (n_segs_p + 1) * wps
-    n_copy = min(int(words.shape[0]), need_words)
-    words_p = jnp.zeros(need_words, jnp.uint32).at[:n_copy].set(words[:n_copy])
-    arr = words_p.reshape(n_segs_p + 1, wps)
-    segw = jnp.concatenate([arr[:-1], arr[1:, :2]], axis=1)
-    segw = (
-        jax.lax.bitcast_convert_type(segw, jnp.int32)
-        .T.reshape(rows, tiles * SUBLANES, LANES)
+    nat, nxt0, nxt1 = _segw_glue(
+        words, wps=wps, tiles=tiles, n_segs_p=n_segs_p
     )
 
     def pad_to(x):
@@ -442,16 +529,14 @@ def count_segments_pallas(
             pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (rows, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
+            *_segw_specs(wps),
         ],
         out_specs=pl.BlockSpec(
             (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((tiles * SUBLANES, LANES), jnp.int32),
         interpret=interpret,
-    )(lim, gaps_r, budgets_r, segw)
+    )(lim, gaps_r, budgets_r, nat, nxt0, nxt1)
     return counts.reshape(n_segs_p)
 
 
@@ -479,14 +564,8 @@ def _ranks_traceable(
     tiles = _cdiv(n_segs, TILE_SEGS)
     n_segs_p = tiles * TILE_SEGS
 
-    need_words = (n_segs_p + 1) * wps
-    n_copy = min(int(words.shape[0]), need_words)
-    words_p = jnp.zeros(need_words, jnp.uint32).at[:n_copy].set(words[:n_copy])
-    arr = words_p.reshape(n_segs_p + 1, wps)
-    segw = jnp.concatenate([arr[:-1], arr[1:, :2]], axis=1)  # (n_segs_p, rows)
-    segw = (
-        jax.lax.bitcast_convert_type(segw, jnp.int32)
-        .T.reshape(rows, tiles * SUBLANES, LANES)
+    nat, nxt0, nxt1 = _segw_glue(
+        words, wps=wps, tiles=tiles, n_segs_p=n_segs_p
     )
 
     def pad_to(x, dtype):
@@ -519,9 +598,7 @@ def _ranks_traceable(
             pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (rows, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
+            *_segw_specs(wps),
         ],
         out_specs=pl.BlockSpec(
             (out_rows, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
@@ -530,7 +607,7 @@ def _ranks_traceable(
             (out_rows, tiles * SUBLANES, LANES), jnp.int32
         ),
         interpret=interpret,
-    )(lim, bias_tab, gaps_r, counts_r, segw)
+    )(lim, bias_tab, gaps_r, counts_r, nat, nxt0, nxt1)
     return packed.reshape(out_rows, n_segs_p)
 
 

@@ -167,10 +167,34 @@ def main():
             return acc
         return f
 
+    def mk_slices(R):
+        # the eager per-call `gaps_j[::g]` strided slices in
+        # `_decode_pallas_planned` — 1D minor-dim strided reads are a
+        # known XLA pathology class on this chip
+        @jax.jit
+        def f(w):
+            def body(i, carry):
+                acc, gg = carry
+                gg = gg.at[0].add(1)
+                a = gg[::g_count]
+                b = gg[::g_merge]
+                return (
+                    acc
+                    ^ jnp.sum(a, dtype=jnp.int32)
+                    ^ jnp.sum(b, dtype=jnp.int32),
+                    gg,
+                )
+            acc, _ = jax.lax.fori_loop(
+                0, R, body, (jnp.int32(0), gaps_j)
+            )
+            return acc
+        return f
+
     makers = {
         "stage_a": mk_stage_a,
         "glue_old": mk_glue_old,
         "fused_b": mk_fused,
+        "slices": mk_slices,
     }
     ts = measure_chained_multi(
         makers, max(reps // 2, 1), reps, words_j, trials=5
